@@ -63,7 +63,9 @@ def merge_new_config(config, new_config):
     for key, val in new_config.items():
         if key == '_BASE_CONFIG_':
             continue
-        if isinstance(val, dict) and key in config and isinstance(config[key], dict):
+        if isinstance(val, dict):
+            if key not in config or not isinstance(config[key], dict):
+                config[key] = CfgNode()
             merge_new_config(config[key], val)
         else:
             config[key] = val

@@ -64,9 +64,11 @@ class ResidualCoder:
             rg = jnp.arctan2(sint + jnp.sin(ra), cost + jnp.cos(ra))
         else:
             rg = rt + ra
+        # zip-truncate extras like the reference (box_coder_utils.py:76)
+        n_extra = min(anchors.shape[-1] - 7, box_encodings.shape[-1] - extra_start)
         extras = [
             box_encodings[..., extra_start + i] + anchors[..., 7 + i]
-            for i in range(anchors.shape[-1] - 7)
+            for i in range(n_extra)
         ]
         return jnp.stack([xg, yg, zg, dxg, dyg, dzg, rg, *extras], axis=-1)
 

@@ -1,0 +1,115 @@
+"""Dataset registry + loader construction (mirrors pcdet/datasets/__init__.py:15-79).
+
+torch DataLoader/DistributedSampler are replaced by a plain python batcher:
+samples are fixed-shape numpy, collation is a stack, and per-host sharding is
+a strided slice of the index space (the multi-host analog of
+DistributedSampler). A background-thread prefetcher overlaps host voxelization
+with device compute.
+"""
+
+import queue
+import threading
+
+import numpy as np
+
+from .dataset import DatasetTemplate
+from .synthetic import SyntheticDataset
+
+__all__ = {
+    'DatasetTemplate': DatasetTemplate,
+    'SyntheticDataset': SyntheticDataset,
+}
+
+
+def _register_lazy():
+    from .kitti.kitti_dataset import KittiDataset
+    __all__['KittiDataset'] = KittiDataset
+
+
+class DataLoader:
+    """Deterministic epoch-based batcher with optional shuffling/prefetch."""
+
+    def __init__(self, dataset, batch_size, shuffle=False, seed=0,
+                 drop_last=True, num_shards=1, shard_id=0, prefetch=2):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.num_shards = num_shards
+        self.shard_id = shard_id
+        self.prefetch = prefetch
+        self.epoch = 0
+
+    def set_epoch(self, epoch):
+        self.epoch = epoch
+
+    def _indices(self):
+        n = len(self.dataset)
+        idx = np.arange(n)
+        if self.shuffle:
+            rng = np.random.RandomState(self.seed + self.epoch)
+            rng.shuffle(idx)
+        # pad so every shard sees the same number of samples (the reference's
+        # padded eval sampler, pcdet/datasets/__init__.py:26-46)
+        per_shard = -(-n // self.num_shards)
+        total = per_shard * self.num_shards
+        idx = np.concatenate([idx, idx[:total - n]])
+        return idx[self.shard_id::self.num_shards]
+
+    def __len__(self):
+        n = len(self._indices())
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def __iter__(self):
+        idx = self._indices()
+        batches = []
+        for i in range(0, len(idx), self.batch_size):
+            chunk = idx[i:i + self.batch_size]
+            if len(chunk) < self.batch_size:
+                if self.drop_last:
+                    break
+                chunk = np.concatenate([chunk, idx[:self.batch_size - len(chunk)]])
+            batches.append(chunk)
+
+        if self.prefetch <= 0:
+            for chunk in batches:
+                yield self.dataset.collate_batch([self.dataset[j] for j in chunk])
+            return
+
+        q = queue.Queue(maxsize=self.prefetch)
+        stop = object()
+
+        def worker():
+            try:
+                for chunk in batches:
+                    q.put(self.dataset.collate_batch([self.dataset[j] for j in chunk]))
+            finally:
+                q.put(stop)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield item
+
+
+def build_dataloader(dataset_cfg, class_names, batch_size, dist=False,
+                     root_path=None, workers=4, logger=None, training=True,
+                     merge_all_iters_to_one_epoch=False, total_epochs=0,
+                     num_shards=1, shard_id=0, **dataset_kwargs):
+    name = dataset_cfg['DATASET']
+    if name == 'KittiDataset':
+        _register_lazy()
+    dataset_cls = __all__[name]
+    dataset = dataset_cls(
+        dataset_cfg=dataset_cfg, class_names=class_names, training=training,
+        root_path=root_path, logger=logger, **dataset_kwargs)
+    if merge_all_iters_to_one_epoch:
+        dataset.merge_all_iters_to_one_epoch(merge=True, epochs=total_epochs)
+    loader = DataLoader(
+        dataset, batch_size=batch_size, shuffle=training,
+        drop_last=training, num_shards=num_shards, shard_id=shard_id)
+    return dataset, loader

@@ -1,0 +1,71 @@
+"""Dense 2D BEV backbone (base_bev_backbone.py:6-112), NHWC.
+
+Multi-level stride blocks of Conv+BN+ReLU with transpose-conv upsampling and
+channel concat. The reference's ZeroPad2d(1)+Conv(stride) head conv is plain
+padding=1 convolution here (identical arithmetic).
+"""
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from ..layers import ConvBNReLU
+
+
+class BaseBEVBackbone(nn.Module):
+    model_cfg: dict
+    input_channels: int
+    use_running_average: bool = False
+    axis_name: str | None = None
+
+    @property
+    def num_bev_features(self):
+        cfg = self.model_cfg
+        if cfg.get('UPSAMPLE_STRIDES'):
+            n = sum(cfg['NUM_UPSAMPLE_FILTERS'])
+        else:
+            n = cfg['NUM_FILTERS'][-1]
+        return n
+
+    @nn.compact
+    def __call__(self, batch, training=False):
+        cfg = self.model_cfg
+        layer_nums = list(cfg.get('LAYER_NUMS', []))
+        layer_strides = list(cfg.get('LAYER_STRIDES', []))
+        num_filters = list(cfg.get('NUM_FILTERS', []))
+        upsample_strides = list(cfg.get('UPSAMPLE_STRIDES', []))
+        num_upsample = list(cfg.get('NUM_UPSAMPLE_FILTERS', []))
+
+        ra = not training
+        x = batch['spatial_features']  # (B, H, W, C)
+        ups = []
+        out = dict(batch)
+        for i, (n_layers, stride, nf) in enumerate(zip(layer_nums, layer_strides, num_filters)):
+            x = ConvBNReLU(nf, 3, stride, padding=1, use_running_average=ra,
+                           axis_name=self.axis_name)(x)
+            for _ in range(n_layers):
+                x = ConvBNReLU(nf, 3, 1, padding=1, use_running_average=ra,
+                               axis_name=self.axis_name)(x)
+            total_stride = int(batch['spatial_features'].shape[1] / x.shape[1])
+            out[f'spatial_features_{total_stride}x'] = x
+            if upsample_strides:
+                us = upsample_strides[i]
+                if us >= 1:
+                    u = ConvBNReLU(num_upsample[i], int(us), int(us),
+                                   use_running_average=ra, axis_name=self.axis_name,
+                                   transpose=True)(x)
+                else:
+                    ds = int(np.round(1 / us))
+                    u = ConvBNReLU(num_upsample[i], ds, ds, padding=0,
+                                   use_running_average=ra, axis_name=self.axis_name)(x)
+                ups.append(u)
+            else:
+                ups.append(x)
+
+        x = jnp.concatenate(ups, axis=-1) if len(ups) > 1 else ups[0]
+        if len(upsample_strides) > len(layer_nums):
+            us = int(upsample_strides[-1])
+            x = ConvBNReLU(x.shape[-1], us, us, use_running_average=ra,
+                           axis_name=self.axis_name, transpose=True)(x)
+        out['spatial_features_2d'] = x
+        return out

@@ -1,0 +1,116 @@
+"""Voxel feature encoders.
+
+Batch layout: voxels (B, V, P, C) fixed-capacity, voxel_num_points (B, V)
+int32 (0 marks an empty/padding slot), voxel_coords (B, V, 3) int32 (z, y, x)
+with -1 padding. Replaces the stacked ragged layout of the reference
+(DatasetTemplate.collate_batch, pcdet/datasets/dataset.py:153) — per-sample
+fixed capacity shards cleanly over a data mesh axis.
+"""
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..layers import MaskedBatchNorm
+
+
+class MeanVFE(nn.Module):
+    """Mean of points per voxel (mean_vfe.py:15-32)."""
+
+    @nn.compact
+    def __call__(self, batch, training=False):
+        voxels = batch['voxels']  # (B, V, P, C)
+        npts = batch['voxel_num_points']  # (B, V)
+        denom = jnp.clip(npts.astype(voxels.dtype), 1.0, None)[..., None]
+        mean = voxels.sum(axis=2) / denom  # (B, V, C)
+        return {**batch, 'voxel_features': mean}
+
+
+class PFNLayer(nn.Module):
+    """Linear(+BN)+ReLU then max over points (pillar_vfe.py:8-50)."""
+
+    out_channels: int
+    use_norm: bool = True
+    last_layer: bool = False
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x, valid_mask, training):
+        # x: (B, V, P, C); valid_mask: (B, V) pillar validity — all P point
+        # rows of a valid pillar enter the BN statistics, matching the
+        # reference's BatchNorm1d over (num_pillars, C, P) (pillar_vfe.py:39).
+        out = self.out_channels if self.last_layer else self.out_channels // 2
+        x = nn.Dense(out, use_bias=not self.use_norm)(x)
+        if self.use_norm:
+            mask = jnp.broadcast_to(valid_mask[..., None], x.shape[:-1])
+            x = MaskedBatchNorm(use_running_average=not training,
+                                axis_name=self.axis_name)(x, mask=mask)
+        x = nn.relu(x)
+        x_max = x.max(axis=2, keepdims=True)  # (B, V, 1, C')
+        if self.last_layer:
+            return x_max.squeeze(2)
+        return jnp.concatenate([x, jnp.broadcast_to(x_max, x.shape)], axis=-1)
+
+
+class PillarVFE(nn.Module):
+    """Pillar feature network (pillar_vfe.py:53-123).
+
+    Features per point: [xyz+feats (or feats only), cluster offset, center
+    offset, (dist)] masked to zero for padding points, then PFN stack.
+    """
+
+    model_cfg: dict
+    num_point_features: int
+    voxel_size: tuple
+    point_cloud_range: tuple
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, batch, training=False):
+        cfg = self.model_cfg
+        use_abs_xyz = cfg.get('USE_ABSLOTE_XYZ', True)  # sic — reference key
+        with_distance = cfg.get('WITH_DISTANCE', False)
+        num_filters = list(cfg['NUM_FILTERS'])
+
+        voxels = batch['voxels']  # (B, V, P, C)
+        npts = batch['voxel_num_points']  # (B, V)
+        coords = batch['voxel_coords']  # (B, V, 3) zyx
+
+        p = voxels.shape[2]
+        pillar_valid = npts > 0
+        denom = jnp.clip(npts.astype(voxels.dtype), 1.0, None)[..., None, None]
+        points_mean = voxels[..., :3].sum(axis=2, keepdims=True) / denom
+        f_cluster = voxels[..., :3] - points_mean
+
+        vx, vy, vz = self.voxel_size
+        x_off = vx / 2 + self.point_cloud_range[0]
+        y_off = vy / 2 + self.point_cloud_range[1]
+        z_off = vz / 2 + self.point_cloud_range[2]
+        cx = coords[..., 2:3].astype(voxels.dtype) * vx + x_off  # (B, V, 1)
+        cy = coords[..., 1:2].astype(voxels.dtype) * vy + y_off
+        cz = coords[..., 0:1].astype(voxels.dtype) * vz + z_off
+        f_center = jnp.stack(
+            [voxels[..., 0] - cx, voxels[..., 1] - cy, voxels[..., 2] - cz],
+            axis=-1)
+
+        feats = [voxels if use_abs_xyz else voxels[..., 3:], f_cluster, f_center]
+        if with_distance:
+            feats.append(jnp.linalg.norm(voxels[..., :3], axis=-1, keepdims=True))
+        features = jnp.concatenate(feats, axis=-1)
+
+        # zero padding points AND padding pillars (pillar_vfe.py:115-117)
+        point_mask = (
+            jnp.arange(p)[None, None, :] < npts[..., None]
+        ) & pillar_valid[..., None]
+        features = features * point_mask[..., None].astype(features.dtype)
+
+        for i, nf in enumerate(num_filters):
+            features = PFNLayer(
+                out_channels=nf,
+                use_norm=cfg.get('USE_NORM', True),
+                last_layer=(i == len(num_filters) - 1),
+                axis_name=self.axis_name,
+            )(features, pillar_valid, training)
+
+        # (B, V, C_out); zero invalid pillars so the scatter writes zeros
+        features = features * pillar_valid[..., None].astype(features.dtype)
+        return {**batch, 'pillar_features': features}

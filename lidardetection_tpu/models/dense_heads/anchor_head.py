@@ -1,0 +1,205 @@
+"""Anchor-based dense heads.
+
+AnchorHeadSingle (anchor_head_single.py:8-110) + the loss/decode machinery of
+AnchorHeadTemplate (anchor_head_template.py:11-273), re-expressed as a flax
+module plus pure loss functions. Anchors are host-precomputed numpy constants
+baked into the jitted graph.
+"""
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...core import losses
+from ...core.box_coders import build_box_coder
+from ...core.geometry import limit_period
+from . import target_assigner
+from .anchor_generator import flatten_anchors, generate_anchors
+
+
+def build_head_anchors(model_cfg, grid_size, point_cloud_range, num_class_names):
+    """Precompute flat anchors + per-anchor class/threshold arrays."""
+    agc = model_cfg['ANCHOR_GENERATOR_CONFIG']
+    box_coder_cfg = model_cfg['TARGET_ASSIGNER_CONFIG'].get('BOX_CODER_CONFIG', {})
+    box_coder = build_box_coder(
+        model_cfg['TARGET_ASSIGNER_CONFIG']['BOX_CODER'], **box_coder_cfg)
+    # anchors padded to the coder's full code size, as the reference does
+    # (anchor_head_template.py:47-51 with box_coder.code_size)
+    anchors_list, num_per_loc = generate_anchors(
+        agc, grid_size, point_cloud_range, anchor_ndim=box_coder.full_code_size)
+    flat, anchor_class = flatten_anchors(anchors_list)
+    matched_t = np.array([c['matched_threshold'] for c in agc], np.float32)[anchor_class]
+    unmatched_t = np.array([c['unmatched_threshold'] for c in agc], np.float32)[anchor_class]
+    return {
+        'flat_anchors': flat,
+        'anchor_class': anchor_class,
+        'matched_t': matched_t,
+        'unmatched_t': unmatched_t,
+        'num_anchors_per_location': sum(num_per_loc),
+        'box_coder': box_coder,
+        'feature_map_size': anchors_list[0].shape[:3],  # (nz, ny, nx)
+    }
+
+
+class AnchorHeadSingle(nn.Module):
+    """1x1 conv heads over the BEV map + target assignment + box decode."""
+
+    model_cfg: dict
+    input_channels: int
+    num_class: int
+    class_names: tuple
+    grid_size: tuple
+    point_cloud_range: tuple
+    predict_boxes_when_training: bool = False
+
+    def setup(self):
+        info = build_head_anchors(
+            self.model_cfg, self.grid_size, self.point_cloud_range,
+            len(self.class_names))
+        self._anchor_info = info
+        self.box_coder = info['box_coder']
+        na = info['num_anchors_per_location']
+        code = self.box_coder.full_code_size
+        # focal-style bias init pi=0.01, box weights std=0.001
+        # (anchor_head_single.py:38-41)
+        pi = 0.01
+        self.conv_cls = nn.Dense(
+            na * self.num_class,
+            bias_init=nn.initializers.constant(-np.log((1 - pi) / pi)))
+        self.conv_box = nn.Dense(
+            na * code, kernel_init=nn.initializers.normal(0.001))
+        self.use_dir = self.model_cfg.get('USE_DIRECTION_CLASSIFIER', False)
+        if self.use_dir:
+            self.num_dir_bins = self.model_cfg['NUM_DIR_BINS']
+            self.conv_dir = nn.Dense(na * self.num_dir_bins)
+        assign_cfg = self.model_cfg['TARGET_ASSIGNER_CONFIG']
+        assert assign_cfg.get('POS_FRACTION', -1) < 0, \
+            'POS_FRACTION subsampling unused by shipped configs'
+
+    def __call__(self, batch, training=False):
+        x = batch['spatial_features_2d']  # (B, H, W, C)
+        b = x.shape[0]
+        cls_preds = self.conv_cls(x)  # (B, H, W, na*nc)
+        box_preds = self.conv_box(x)
+        out = dict(batch)
+        fwd = {'cls_preds': cls_preds, 'box_preds': box_preds}
+        dir_preds = None
+        if self.use_dir:
+            dir_preds = self.conv_dir(x)
+            fwd['dir_cls_preds'] = dir_preds
+
+        info = self._anchor_info
+        anchors = jnp.asarray(info['flat_anchors'])
+        if training:
+            fwd.update(target_assigner.assign_targets(
+                anchors, jnp.asarray(info['anchor_class']),
+                jnp.asarray(info['matched_t']), jnp.asarray(info['unmatched_t']),
+                batch['gt_boxes'], box_coder=self.box_coder,
+                match_height=self.model_cfg['TARGET_ASSIGNER_CONFIG'].get(
+                    'MATCH_HEIGHT', False)))
+
+        if not training or self.predict_boxes_when_training:
+            code = self.box_coder.full_code_size
+            batch_box = self.box_coder.decode(
+                box_preds.reshape(b, -1, code), anchors[None])
+            if self.use_dir:
+                dir_offset = self.model_cfg.get('DIR_OFFSET', 0.78539)
+                dir_limit_offset = self.model_cfg.get('DIR_LIMIT_OFFSET', 0.0)
+                dir_labels = jnp.argmax(
+                    dir_preds.reshape(b, -1, self.num_dir_bins), axis=-1)
+                period = 2 * np.pi / self.num_dir_bins
+                dir_rot = limit_period(
+                    batch_box[..., 6] - dir_offset, dir_limit_offset, period)
+                heading = dir_rot + dir_offset + period * dir_labels.astype(batch_box.dtype)
+                batch_box = batch_box.at[..., 6].set(heading)
+            out['batch_cls_preds'] = cls_preds.reshape(b, -1, self.num_class)
+            out['batch_box_preds'] = batch_box
+            out['cls_preds_normalized'] = False
+
+        out['anchor_head_fwd'] = fwd
+        return out
+
+    def get_anchor_constants(self):
+        return self._anchor_info
+
+
+def add_sin_difference(boxes1, boxes2, dim=6):
+    """sin(a-b) factorization for heading regression (anchor_head_template.py:139-145)."""
+    rad_pred = jnp.sin(boxes1[..., dim:dim + 1]) * jnp.cos(boxes2[..., dim:dim + 1])
+    rad_tg = jnp.cos(boxes1[..., dim:dim + 1]) * jnp.sin(boxes2[..., dim:dim + 1])
+    b1 = jnp.concatenate([boxes1[..., :dim], rad_pred, boxes1[..., dim + 1:]], axis=-1)
+    b2 = jnp.concatenate([boxes2[..., :dim], rad_tg, boxes2[..., dim + 1:]], axis=-1)
+    return b1, b2
+
+
+def get_direction_target(flat_anchors, reg_targets, dir_offset, num_bins):
+    """Direction-bin targets from gt heading (anchor_head_template.py:148-161)."""
+    rot_gt = reg_targets[..., 6] + flat_anchors[None, :, 6]
+    offset_rot = limit_period(rot_gt - dir_offset, 0, 2 * np.pi)
+    bins = jnp.floor(offset_rot / (2 * np.pi / num_bins)).astype(jnp.int32)
+    bins = jnp.clip(bins, 0, num_bins - 1)
+    return jax.nn.one_hot(bins, num_bins, dtype=reg_targets.dtype)
+
+
+def anchor_head_loss(fwd, flat_anchors, num_class, model_cfg):
+    """RPN cls + reg (+dir) loss (anchor_head_template.py:102-224).
+
+    Args:
+        fwd: dict with cls_preds (B,H,W,na*nc), box_preds, dir_cls_preds?,
+            box_cls_labels (B,A), box_reg_targets (B,A,code), reg_weights.
+    Returns:
+        (scalar loss, tb_dict)
+    """
+    loss_cfg = model_cfg['LOSS_CONFIG']
+    weights_cfg = loss_cfg['LOSS_WEIGHTS']
+    cls_preds = fwd['cls_preds']
+    box_preds = fwd['box_preds']
+    labels = fwd['box_cls_labels']  # (B, A)
+    b = cls_preds.shape[0]
+
+    cared = labels >= 0
+    positives = labels > 0
+    negatives = labels == 0
+    cls_weights = (negatives + positives).astype(jnp.float32)
+    reg_weights = positives.astype(jnp.float32)
+    pos_normalizer = jnp.clip(positives.sum(axis=1, keepdims=True).astype(jnp.float32), 1.0, None)
+    reg_weights = reg_weights / pos_normalizer
+    cls_weights = cls_weights / pos_normalizer
+
+    cls_targets = jnp.where(cared, labels, 0)
+    if num_class == 1:
+        cls_targets = jnp.where(positives, 1, cls_targets)
+    one_hot = jax.nn.one_hot(cls_targets, num_class + 1, dtype=cls_preds.dtype)[..., 1:]
+    cls_preds_flat = cls_preds.reshape(b, -1, num_class)
+    cls_loss = losses.sigmoid_focal_loss(cls_preds_flat, one_hot, cls_weights).sum() / b
+    cls_loss = cls_loss * weights_cfg['cls_weight']
+
+    code = fwd['box_reg_targets'].shape[-1]
+    box_preds_flat = box_preds.reshape(b, -1, code)
+    box_preds_sin, reg_targets_sin = add_sin_difference(
+        box_preds_flat, fwd['box_reg_targets'])
+    loc_loss = losses.weighted_smooth_l1_loss(
+        box_preds_sin, reg_targets_sin, reg_weights,
+        code_weights=weights_cfg['code_weights']).sum() / b
+    loc_loss = loc_loss * weights_cfg['loc_weight']
+
+    tb = {'rpn_loss_cls': cls_loss, 'rpn_loss_loc': loc_loss}
+    box_loss = loc_loss
+    if 'dir_cls_preds' in fwd:
+        num_bins = model_cfg['NUM_DIR_BINS']
+        dir_targets = get_direction_target(
+            flat_anchors, fwd['box_reg_targets'],
+            dir_offset=model_cfg.get('DIR_OFFSET', 0.78539), num_bins=num_bins)
+        dir_logits = fwd['dir_cls_preds'].reshape(b, -1, num_bins)
+        weights = positives.astype(jnp.float32)
+        weights = weights / jnp.clip(weights.sum(-1, keepdims=True), 1.0, None)
+        dir_loss = losses.weighted_cross_entropy_loss(
+            dir_logits, dir_targets, weights).sum() / b
+        dir_loss = dir_loss * weights_cfg['dir_weight']
+        box_loss = box_loss + dir_loss
+        tb['rpn_loss_dir'] = dir_loss
+
+    rpn_loss = cls_loss + box_loss
+    tb['rpn_loss'] = rpn_loss
+    return rpn_loss, tb

@@ -1,0 +1,93 @@
+"""Detector post-processing: NMS + recall bookkeeping, fixed-size.
+
+Re-expresses Detector3DTemplate.post_processing
+(detector3d_template.py:169-276) and generate_recall_record (:278-319) as
+pure vmapped functions. The per-sample python loop of the reference becomes a
+vmap; the dynamic `selected` index list becomes (post_max,) padded indices +
+mask + count.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from ...core.iou3d import boxes_iou3d
+from ..model_utils import nms_utils
+
+
+def post_processing(batch, post_cfg, num_class):
+    """Args:
+        batch: dict with batch_box_preds (B, N, 7+C), batch_cls_preds
+            (B, N, nc) (+ optional 'batch_pred_labels'/'roi_labels' (B, N)),
+            cls_preds_normalized: bool.
+    Returns:
+        dict with pred_boxes (B, post, 7+C), pred_scores (B, post),
+        pred_labels (B, post) int32 (1-based), pred_mask (B, post) bool,
+        num_preds (B,).
+    """
+    nms_cfg = post_cfg['NMS_CONFIG']
+    score_thresh = post_cfg.get('SCORE_THRESH', None)
+    box_preds = batch['batch_box_preds']
+    cls_preds = batch['batch_cls_preds']
+    if not batch.get('cls_preds_normalized', False):
+        cls_preds = jax.nn.sigmoid(cls_preds)
+
+    assert not nms_cfg.get('MULTI_CLASSES_NMS', False), \
+        'multi-class NMS path arrives with AnchorHeadMulti'
+
+    has_labels = 'batch_pred_labels' in batch or 'roi_labels' in batch
+    if 'roi_labels' in batch:
+        label_src = batch['roi_labels']
+    elif 'batch_pred_labels' in batch:
+        label_src = batch['batch_pred_labels']
+    else:
+        label_src = None
+
+    def one(boxes, scores_nc, labels_src):
+        scores = scores_nc.max(axis=-1)
+        arg = scores_nc.argmax(axis=-1).astype(jnp.int32)
+        labels = labels_src if labels_src is not None else arg + 1
+        idx, mask, num = nms_utils.class_agnostic_nms(
+            scores, boxes, nms_cfg, score_thresh)
+        sel_boxes = boxes[idx] * mask[:, None]
+        sel_scores = jnp.where(mask, scores[idx], 0.0)
+        sel_labels = jnp.where(mask, labels[idx], 0)
+        return sel_boxes, sel_scores, sel_labels, mask, num
+
+    if label_src is not None:
+        out = jax.vmap(one)(box_preds, cls_preds, label_src.astype(jnp.int32))
+    else:
+        out = jax.vmap(lambda b, s: one(b, s, None))(box_preds, cls_preds)
+    boxes, scores, labels, mask, num = out
+    return {
+        'pred_boxes': boxes, 'pred_scores': scores, 'pred_labels': labels,
+        'pred_mask': mask, 'num_preds': num,
+    }
+
+
+def compute_recall(pred_boxes, pred_mask, gt_boxes, thresh_list, rois=None,
+                   roi_mask=None):
+    """Recall counters vs gt (generate_recall_record, detector3d_template.py:278).
+
+    Args:
+        pred_boxes (B, N, 7+), pred_mask (B, N) bool,
+        gt_boxes (B, G, 8) class-in-last-col (0 pad).
+    Returns:
+        dict: 'gt' scalar count plus 'rcnn_<t>' (and 'roi_<t>') counters.
+    """
+    gt_valid = gt_boxes[..., -1] > 0  # (B, G)
+
+    def one(preds, pmask, gts, gmask):
+        iou = boxes_iou3d(preds[:, :7], gts[:, :7])  # (N, G)
+        iou = jnp.where(pmask[:, None] & gmask[None, :], iou, 0.0)
+        best = iou.max(axis=0)  # (G,)
+        return best
+
+    best = jax.vmap(one)(pred_boxes, pred_mask, gt_boxes[..., :-1], gt_valid)
+    out = {'gt': gt_valid.sum()}
+    for t in thresh_list:
+        out[f'rcnn_{t}'] = ((best > t) & gt_valid).sum()
+    if rois is not None:
+        best_roi = jax.vmap(one)(rois, roi_mask, gt_boxes[..., :-1], gt_valid)
+        for t in thresh_list:
+            out[f'roi_{t}'] = ((best_roi > t) & gt_valid).sum()
+    return out

@@ -41,16 +41,30 @@ def main():
     variables = model.init(jax.random.PRNGKey(0), db, training=False)
     step = make_eval_step(model, cfg.MODEL.POST_PROCESSING, len(cfg.CLASS_NAMES))
 
-    params, stats = variables['params'], variables['batch_stats']
-    # warmup / compile
-    out = step(params, stats, db)
-    jax.block_until_ready(out)
+    import jax.numpy as jnp
 
-    iters = 20
+    params, stats = variables['params'], variables['batch_stats']
+    db = jax.device_put(db)
+    # force upload completion with a real fetch (the axon relay's
+    # block_until_ready does not reliably block)
+    _ = float(jnp.sum(db['voxels']))
+
+    def run_chain(n):
+        # chain iterations through an on-device data dependency and end with
+        # a single scalar fetch: per-iteration host syncs would measure the
+        # tunnel round-trip, and free-running dispatch measures nothing
+        carry = jnp.float32(0.0)
+        out = None
+        for _ in range(n):
+            dbi = {**db, 'voxels': db['voxels'] + carry * 1e-12}
+            out = step(params, stats, dbi)
+            carry = out['pred_scores'].reshape(-1)[0]
+        return float(carry)
+
+    run_chain(2)  # warmup / compile
+    iters = 30
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = step(params, stats, db)
-    jax.block_until_ready(out)
+    run_chain(iters)
     dt = time.perf_counter() - t0
 
     scans_per_sec = iters * batch_size / dt

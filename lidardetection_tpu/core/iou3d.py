@@ -4,10 +4,11 @@ Replaces the reference's `iou3d_nms` CUDA extension
 (pcdet/ops/iou3d_nms/src/iou3d_nms_kernel.cu):
   * `boxes_overlap_kernel` (:104-249) computed rotated-rectangle intersection
     per thread by collecting corner-in-box and edge-edge intersection points
-    and sorting them by angle. Here the same geometric construction is
-    expressed as dense vectorized math over all (N, M) pairs at once: 24
-    candidate points per pair, masked angular sort, masked shoelace area —
-    no data-dependent control flow, so XLA maps it straight onto the VPU.
+    and sorting them by angle — cheap per CUDA thread, hostile to SIMD. Here
+    the intersection area uses a fixed-dataflow formulation (Liang-Barsky
+    edge clipping + piecewise shoelace, see `_pair_overlap_bev`) that is
+    branch-, sort- and gather-free, so XLA maps all (N, M) pairs straight
+    onto the VPU.
   * `nms_kernel` (:267-313) + host greedy pass (iou3d_nms.cpp:90-137) become
     a fixed-capacity greedy NMS via `lax.fori_loop` over a precomputed IoU
     matrix (see `nms_bev`).
@@ -22,6 +23,8 @@ import jax.numpy as jnp
 from .geometry import corners_bev
 
 _EPS = 1e-8
+_PAR_TOL = 1e-4   # |n.d| <= tol*|d| -> treat edge as parallel to the face
+_TIE_TOL = 1e-3   # signed-distance window for boundary-coincidence ties (meters)
 
 
 def boxes_iou_normal(boxes_a, boxes_b):
@@ -61,86 +64,118 @@ def boxes3d_nearest_bev_iou(boxes_a, boxes_b):
     )
 
 
-def _pair_overlap_bev(corners_a, corners_b):
-    """Intersection area of two convex BEV quads.
+def _rect_halfplanes(boxes):
+    """Half-plane form of rotated rectangles: inside iff n_k . x <= c_k.
+
+    Args: boxes (..., 7). Returns normals (..., 4, 2), offsets (..., 4).
+    """
+    h = boxes[..., 6]
+    u = jnp.stack([jnp.cos(h), jnp.sin(h)], axis=-1)   # box x-axis
+    v = jnp.stack([-jnp.sin(h), jnp.cos(h)], axis=-1)  # box y-axis
+    n = jnp.stack([u, -u, v, -v], axis=-2)  # (..., 4, 2)
+    center = boxes[..., 0:2]
+    half = jnp.stack([boxes[..., 3], boxes[..., 3], boxes[..., 4], boxes[..., 4]],
+                     axis=-1) / 2
+    c = jnp.einsum('...kd,...d->...k', n, center) + half
+    return n, c
+
+
+def _clipped_edges_contribution(pa1, pa2, nb, cb, second_pass=False):
+    """Shoelace contribution of A-edges clipped to rectangle B (Liang-Barsky).
 
     Args:
-        corners_a, corners_b: (4, 2) corners (consistent winding).
+        pa1, pa2: (..., 4, 2) edge endpoints of A (consistent winding);
+        nb: (..., 4, 2) B half-plane normals; cb: (..., 4) offsets;
+        second_pass: in the second clipping pass, an edge lying ON a face
+            of the clip rectangle (|signed distance| <= _TIE_TOL) is rejected
+            iff it runs in the SAME direction as that face's own boundary
+            edge. Collinear boundary pieces are thus counted once across the
+            two passes when the polygons agree (identical boxes, shared
+            faces) yet still cancel when they merely touch back-to-back
+            (opposite traversal directions).
     Returns:
-        scalar intersection area.
-
-    Same construction as boxes_overlap_kernel (iou3d_nms_kernel.cu:104-249):
-    candidates = edge x edge intersections (16) + corners of A in B (4) +
-    corners of B in A (4); sort valid candidates by angle around centroid;
-    shoelace.
+        (...,) sum over A's edges of cross(p(t0), p(t1)) for the sub-segment
+        inside B (0 when the edge misses B).
     """
-    # --- edge-edge intersections (4 x 4 = 16 candidates) ---
-    a1 = corners_a  # (4, 2)
-    a2 = jnp.roll(corners_a, -1, axis=0)
-    b1 = corners_b
-    b2 = jnp.roll(corners_b, -1, axis=0)
-
-    da = (a2 - a1)[:, None, :]  # (4, 1, 2)
-    db = (b2 - b1)[None, :, :]  # (1, 4, 2)
-    w = a1[:, None, :] - b1[None, :, :]  # (4, 4, 2)
-
-    denom = da[..., 0] * db[..., 1] - da[..., 1] * db[..., 0]  # (4, 4)
-    t_num = db[..., 0] * w[..., 1] - db[..., 1] * w[..., 0]
-    u_num = da[..., 0] * w[..., 1] - da[..., 1] * w[..., 0]
-    safe = jnp.where(jnp.abs(denom) > _EPS, denom, 1.0)
-    t = t_num / safe
-    u = u_num / safe
-    hit = (jnp.abs(denom) > _EPS) & (t >= 0) & (t <= 1) & (u >= 0) & (u <= 1)
-    inter_pts = a1[:, None, :] + t[..., None] * da  # (4, 4, 2)
-
-    # --- corners inside the other box (4 + 4 candidates) ---
-    def corners_inside(pts, poly):
-        # pts (4,2), poly (4,2) convex: same-side test against every edge.
-        p1 = poly
-        p2 = jnp.roll(poly, -1, axis=0)
-        edge = p2 - p1  # (4, 2)
-        rel = pts[:, None, :] - p1[None, :, :]  # (4pts, 4edges, 2)
-        cross = edge[None, :, 0] * rel[..., 1] - edge[None, :, 1] * rel[..., 0]
-        return jnp.all(cross >= -_EPS, axis=1) | jnp.all(cross <= _EPS, axis=1)
-
-    a_in_b = corners_inside(corners_a, corners_b)  # (4,)
-    b_in_a = corners_inside(corners_b, corners_a)  # (4,)
-
-    pts = jnp.concatenate(
-        [inter_pts.reshape(16, 2), corners_a, corners_b], axis=0
-    )  # (24, 2)
-    valid = jnp.concatenate([hit.reshape(16), a_in_b, b_in_a], axis=0)  # (24,)
-
-    num_valid = jnp.sum(valid)
-    # centroid of valid candidates
-    vf = valid.astype(pts.dtype)[:, None]
-    center = jnp.sum(pts * vf, axis=0) / jnp.maximum(num_valid, 1).astype(pts.dtype)
-
-    ang = jnp.arctan2(pts[:, 1] - center[1], pts[:, 0] - center[0])
-    ang = jnp.where(valid, ang, jnp.inf)  # invalid sort last
-    order = jnp.argsort(ang)
-    sorted_pts = pts[order]  # (24, 2), valid first in CCW order
-
-    idx = jnp.arange(24)
-    nxt = jnp.where(idx + 1 < num_valid, idx + 1, 0)
-    p_i = sorted_pts
-    p_j = sorted_pts[nxt]
-    cross = p_i[:, 0] * p_j[:, 1] - p_i[:, 1] * p_j[:, 0]
-    contrib = jnp.where(idx < num_valid, cross, 0.0)
-    area = 0.5 * jnp.abs(jnp.sum(contrib))
-    return jnp.where(num_valid >= 3, area, 0.0)
+    d = pa2 - pa1  # (..., 4, 2)
+    len_d = jnp.linalg.norm(d, axis=-1)[..., :, None]  # (..., 4e, 1)
+    # f(t) = nb.(p1 + t d) - cb <= 0 required, per (edge e, plane k)
+    nd = jnp.einsum('...kd,...ed->...ek', nb, d)    # (..., 4e, 4k)
+    nf = jnp.einsum('...kd,...ed->...ek', nb, pa1) - cb[..., None, :]
+    # parallel test is relative to edge length: f32 trig noise makes exactly
+    # collinear rotated edges produce |n.d| ~ 1e-6 * |d|
+    is_par = jnp.abs(nd) <= _PAR_TOL * len_d
+    t_at = -nf / jnp.where(is_par, 1.0, nd)
+    # entering (nd < 0): t >= t_at ; exiting (nd > 0): t <= t_at
+    t_lo = jnp.where(~is_par & (nd < 0), t_at, 0.0)
+    t_hi = jnp.where(~is_par & (nd > 0), t_at, 1.0)
+    # parallel & strictly outside: reject the whole edge
+    reject = is_par & (nf > _TIE_TOL)
+    if second_pass:
+        # on-boundary collinear, same traversal direction as the clip
+        # rectangle's own edge on that face (CW winding: edge dir =
+        # rotate_cw(face normal)) -> already counted by the first pass
+        same_dir = (d[..., :, None, 0] * nb[..., None, :, 1]
+                    - d[..., :, None, 1] * nb[..., None, :, 0]) > 0
+        on_boundary = is_par & (jnp.abs(nf) <= _TIE_TOL)
+        reject = reject | (on_boundary & same_dir)
+    t0 = jnp.maximum(jnp.max(t_lo, axis=-1), 0.0)       # (..., 4e)
+    t1 = jnp.minimum(jnp.min(t_hi, axis=-1), 1.0)
+    valid = (t1 > t0) & ~jnp.any(reject, axis=-1)
+    p0 = pa1 + t0[..., None] * d
+    p1 = pa1 + t1[..., None] * d
+    cross = p0[..., 0] * p1[..., 1] - p0[..., 1] * p1[..., 0]
+    return jnp.sum(jnp.where(valid, cross, 0.0), axis=-1)
 
 
-def boxes_overlap_bev(boxes_a, boxes_b):
+def _pair_overlap_bev(boxes_a, boxes_b):
+    """Intersection area of two rotated BEV rectangles (broadcastable).
+
+    Args: boxes_a, boxes_b: (..., 7) broadcast-compatible.
+    Returns: (...,) area.
+
+    Exact, fixed-dataflow alternative to the reference's candidate-collection
+    + angular-sort construction (iou3d_nms_kernel.cu:104-249): the boundary
+    of A∩B is exactly {A-edges clipped to B} ∪ {B-edges clipped to A}; each
+    clipped directed segment contributes cross(start, end) to the shoelace
+    sum, so area = |Σ contributions| / 2. Liang-Barsky interval clipping
+    against the 4 half-planes is branch-free — no sorting, no gathers, no
+    transcendentals — which is what makes this formulation fast on the VPU
+    (~400 flops/pair, ~6 temporaries).
+    """
+    ca = corners_bev(boxes_a)  # (..., 4, 2)
+    cb = corners_bev(boxes_b)
+    na, caa = _rect_halfplanes(boxes_a)
+    nb, cbb = _rect_halfplanes(boxes_b)
+    contrib_a = _clipped_edges_contribution(ca, jnp.roll(ca, -1, axis=-2), nb, cbb)
+    contrib_b = _clipped_edges_contribution(cb, jnp.roll(cb, -1, axis=-2), na, caa,
+                                            second_pass=True)
+    return jnp.abs(contrib_a + contrib_b) / 2
+
+
+def boxes_overlap_bev(boxes_a, boxes_b, row_chunk=None):
     """Rotated BEV intersection area, all pairs.
 
     Args: boxes_a (N, 7), boxes_b (M, 7). Returns (N, M) float32.
     Mirrors boxes_overlap_bev (iou3d_nms_utils.py:12-29).
+
+    The clipping workspace is ~16 floats per pair; for large N*M (NMS
+    matrices) rows are processed in `row_chunk` blocks via lax.map so peak
+    memory stays bounded while each block is fully vectorized.
     """
-    ca = corners_bev(boxes_a)  # (N, 4, 2)
-    cb = corners_bev(boxes_b)  # (M, 4, 2)
-    f = jax.vmap(jax.vmap(_pair_overlap_bev, in_axes=(None, 0)), in_axes=(0, None))
-    return f(ca, cb)
+    f = lambda a: _pair_overlap_bev(a[:, None, :], boxes_b[None, :, :])
+
+    n, m = boxes_a.shape[0], boxes_b.shape[0]
+    if row_chunk is None:
+        # keep the per-block workspace around ~128 MB
+        row_chunk = max(1, min(n, int(2**25 // max(m * 16, 1))))
+    if n <= row_chunk:
+        return f(boxes_a)
+    pad = (-n) % row_chunk
+    a_pad = jnp.pad(boxes_a, ((0, pad), (0, 0)))
+    blocks = a_pad.reshape(-1, row_chunk, boxes_a.shape[1])
+    out = jax.lax.map(f, blocks)
+    return out.reshape(-1, m)[:n]
 
 
 def boxes_iou_bev(boxes_a, boxes_b):
@@ -169,21 +204,123 @@ def boxes_iou3d(boxes_a, boxes_b):
     return overlap_3d / jnp.clip(vol_a[:, None] + vol_b[None, :] - overlap_3d, 1e-6, None)
 
 
-def _greedy_nms_from_iou(iou, valid, thresh):
-    """Greedy suppression given (K, K) IoU of score-sorted boxes.
+def _lazy_greedy_nms(boxes, scores, valid, thresh, post_maxsize, iou_row_fn):
+    """Row-lazy greedy NMS: O(num_kept) sequential steps, no NxN matrix.
 
-    Returns keep (K,) bool. Sequential in K via fori_loop — semantically
-    identical to the host loop in nms_gpu (iou3d_nms.cpp:90-137).
+    Greedy NMS = repeatedly take the highest-scored unsuppressed box and
+    suppress everything it overlaps. Walking score-sorted candidates (the
+    CUDA host loop, iou3d_nms.cpp:90-137) is O(N) sequential; picking the
+    running argmax is equivalent and terminates after num_kept (<=
+    post_maxsize) iterations, each costing one argmax + ONE IoU row (N
+    pairs). For trained detectors num_kept << N, so this is typically
+    10-100x cheaper than materializing the NxN IoU matrix — and it never
+    allocates one.
+
+    Args:
+        boxes (N, 7); scores (N,); valid (N,) bool; iou_row_fn(box, boxes)
+        -> (N,) IoU of one box against all.
+    Returns:
+        out_idx (post_maxsize,) int32, num_kept int32.
     """
-    k = iou.shape[0]
+    n = scores.shape[0]
+    neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
+    live_scores = jnp.where(valid, scores, neg_inf)
 
-    def body(i, suppressed):
-        keep_i = valid[i] & ~suppressed[i]
-        new_sup = suppressed | (keep_i & (iou[i] > thresh) & (jnp.arange(k) > i))
-        return new_sup
+    def cond(state):
+        live, out, count = state
+        return (count < post_maxsize) & jnp.any(live > neg_inf)
 
-    suppressed = jax.lax.fori_loop(0, k, body, jnp.zeros((k,), dtype=bool))
-    return valid & ~suppressed
+    def body(state):
+        live, out, count = state
+        cur = jnp.argmax(live).astype(jnp.int32)
+        row = iou_row_fn(boxes[cur], boxes)  # (N,)
+        suppress = (row > thresh) | (jnp.arange(n) == cur)
+        live = jnp.where(suppress, neg_inf, live)
+        out = out.at[count].set(cur)
+        return live, out, count + 1
+
+    out0 = jnp.zeros((post_maxsize,), jnp.int32)
+    _, out_idx, num_kept = jax.lax.while_loop(
+        cond, body, (live_scores, out0, jnp.int32(0)))
+    return out_idx, num_kept
+
+
+def _lazy_greedy_nms_batched(boxes, scores, valid, thresh, post_maxsize,
+                             iou_row_fn):
+    """Batched row-lazy greedy NMS: every sample advances per iteration.
+
+    Same semantics per sample as `_lazy_greedy_nms`; the while_loop carries
+    all B samples so the iteration count is max(num_kept) over the batch
+    instead of the sum — the batch dimension rides the VPU for free.
+
+    Args:
+        boxes (B, N, 7); scores (B, N); valid (B, N);
+        iou_row_fn(box (B, 7), boxes (B, N, 7)) -> (B, N).
+    Returns:
+        out_idx (B, post_maxsize) int32, num_kept (B,) int32.
+    """
+    b, n = scores.shape
+    neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
+    live0 = jnp.where(valid, scores, neg_inf)
+    brange = jnp.arange(b)
+
+    def cond(state):
+        live, out, count = state
+        active = (count < post_maxsize) & jnp.any(live > neg_inf, axis=1)
+        return jnp.any(active)
+
+    def body(state):
+        live, out, count = state
+        active = (count < post_maxsize) & jnp.any(live > neg_inf, axis=1)  # (B,)
+        cur = jnp.argmax(live, axis=1).astype(jnp.int32)  # (B,)
+        cur_boxes = boxes[brange, cur]  # (B, 7)
+        row = iou_row_fn(cur_boxes, boxes)  # (B, N)
+        suppress = (row > thresh) | (jnp.arange(n)[None, :] == cur[:, None])
+        live = jnp.where(suppress & active[:, None], neg_inf, live)
+        # active: slot = count (< post_maxsize); inactive: rewrite old value
+        slot = jnp.minimum(count, post_maxsize - 1)
+        val = jnp.where(active, cur, out[brange, slot])
+        out = out.at[brange, slot].set(val)
+        count = count + active.astype(jnp.int32)
+        return live, out, count
+
+    out0 = jnp.zeros((b, post_maxsize), jnp.int32)
+    _, out_idx, num_kept = jax.lax.while_loop(
+        cond, body, (live0, out0, jnp.zeros((b,), jnp.int32)))
+    return out_idx, num_kept
+
+
+def nms_bev_batched(boxes, scores, thresh, pre_maxsize, post_maxsize,
+                    valid_mask=None):
+    """Batched rotated-BEV greedy NMS.
+
+    Args: boxes (B, N, 7); scores (B, N); valid_mask (B, N) optional.
+    Returns: (indices (B, post) into the input N axis, keep_mask (B, post),
+    num_kept (B,)). Per-sample semantics identical to `nms_bev`.
+    """
+    bsz = scores.shape[0]
+    if valid_mask is None:
+        valid_mask = jnp.ones(scores.shape, dtype=bool)
+    neg_inf = jnp.asarray(-jnp.inf, dtype=scores.dtype)
+    masked = jnp.where(valid_mask, scores, neg_inf)
+    k = min(pre_maxsize, boxes.shape[1])
+    top_scores, order = jax.lax.top_k(masked, k)  # (B, k)
+    top_boxes = jnp.take_along_axis(boxes, order[..., None], axis=1)
+    top_valid = top_scores > neg_inf
+
+    def iou_row(box, all_boxes):
+        overlap = _pair_overlap_bev(box[:, None, :], all_boxes)  # (B, k)
+        area_cur = (box[:, 3] * box[:, 4])[:, None]
+        areas = all_boxes[..., 3] * all_boxes[..., 4]
+        return overlap / jnp.clip(area_cur + areas - overlap, 1e-6, None)
+
+    kept_local, num_kept = _lazy_greedy_nms_batched(
+        top_boxes, top_scores, top_valid, thresh, post_maxsize, iou_row)
+    keep_mask = jnp.arange(post_maxsize)[None, :] < num_kept[:, None]
+    out = jnp.where(keep_mask,
+                    jnp.take_along_axis(order, kept_local, axis=1).astype(jnp.int32),
+                    0)
+    return out, keep_mask, num_kept
 
 
 def nms_bev(boxes, scores, thresh, pre_maxsize, post_maxsize, valid_mask=None):
@@ -212,17 +349,16 @@ def nms_bev(boxes, scores, thresh, pre_maxsize, post_maxsize, valid_mask=None):
     top_boxes = boxes[order]
     top_valid = top_scores > neg_inf
 
-    iou = boxes_iou_bev(top_boxes, top_boxes)
-    keep = _greedy_nms_from_iou(iou, top_valid, thresh)  # (k,)
+    def iou_row(box, all_boxes):
+        overlap = _pair_overlap_bev(box[None, :], all_boxes)  # (k,)
+        area_cur = box[3] * box[4]
+        areas = all_boxes[:, 3] * all_boxes[:, 4]
+        return overlap / jnp.clip(area_cur + areas - overlap, 1e-6, None)
 
-    # stable-compact kept indices to the front, pad to post_maxsize;
-    # overflow/dropped entries scatter into a spill slot that is sliced off.
-    rank = jnp.cumsum(keep) - 1
-    src = jnp.where(keep & (rank < post_maxsize), rank, post_maxsize)
-    out = jnp.zeros((post_maxsize + 1,), dtype=jnp.int32)
-    out = out.at[src].set(order.astype(jnp.int32))[:post_maxsize]
-    num_kept = jnp.minimum(jnp.sum(keep), post_maxsize).astype(jnp.int32)
+    kept_local, num_kept = _lazy_greedy_nms(
+        top_boxes, top_scores, top_valid, thresh, post_maxsize, iou_row)
     keep_mask = jnp.arange(post_maxsize) < num_kept
+    out = jnp.where(keep_mask, order[kept_local].astype(jnp.int32), 0)
     return out, keep_mask, num_kept
 
 
@@ -240,12 +376,16 @@ def nms_normal_bev(boxes, scores, thresh, pre_maxsize, post_maxsize, valid_mask=
     top_scores, order = jax.lax.top_k(masked_scores, k)
     top_boxes = boxes[order]
     top_valid = top_scores > neg_inf
-    iou = boxes3d_nearest_bev_iou(top_boxes, top_boxes)
-    keep = _greedy_nms_from_iou(iou, top_valid, thresh)
-    rank = jnp.cumsum(keep) - 1
-    src = jnp.where(keep & (rank < post_maxsize), rank, post_maxsize)
-    out = jnp.zeros((post_maxsize + 1,), dtype=jnp.int32)
-    out = out.at[src].set(order.astype(jnp.int32))[:post_maxsize]
-    num_kept = jnp.minimum(jnp.sum(keep), post_maxsize).astype(jnp.int32)
+
+    aligned = boxes3d_lidar_to_aligned_bev_boxes(top_boxes)
+
+    def iou_row(box, all_boxes):
+        del all_boxes  # closed-over aligned form used instead
+        b = boxes3d_lidar_to_aligned_bev_boxes(box[None, :])
+        return boxes_iou_normal(b, aligned)[0]
+
+    kept_local, num_kept = _lazy_greedy_nms(
+        top_boxes, top_scores, top_valid, thresh, post_maxsize, iou_row)
     keep_mask = jnp.arange(post_maxsize) < num_kept
+    out = jnp.where(keep_mask, order[kept_local].astype(jnp.int32), 0)
     return out, keep_mask, num_kept

@@ -1,0 +1,58 @@
+"""Training loop (re-expresses tools/train_utils/train_utils.py:9-147).
+
+The reference's per-iteration Python body (zero_grad/backward/clip/step) is
+one jitted `train_step`; the loop only feeds batches and logs. Checkpoints
+save per epoch with rotation; resume picks the newest checkpoint.
+"""
+
+import time
+
+import jax
+import numpy as np
+
+from ..parallel.mesh import shard_batch
+from ..parallel.train_step import TrainState, device_batch, make_train_step
+from ..utils.checkpoint import latest_checkpoint, restore_checkpoint, save_checkpoint
+from ..utils.optimization import build_optimizer
+
+
+def train_model(model, variables, loader, optim_cfg, total_epochs, ckpt_dir,
+                logger, mesh=None, start_epoch=0, max_ckpt_save_num=30,
+                log_interval=20, tb_writer=None, lr_sched=None, state=None):
+    iters_per_epoch = len(loader)
+    if state is None:
+        tx, lr_sched = build_optimizer(optim_cfg, iters_per_epoch, total_epochs)
+        state = TrainState.create(params=variables['params'],
+                                  batch_stats=variables['batch_stats'], tx=tx)
+        latest = latest_checkpoint(ckpt_dir) if ckpt_dir else None
+        if latest is not None:
+            state, start_epoch = restore_checkpoint(latest, state, logger)
+            logger.info('resumed from %s (epoch %d)', latest, start_epoch)
+
+    step_fn = make_train_step(model, mesh=mesh)
+
+    for epoch in range(start_epoch, total_epochs):
+        loader.set_epoch(epoch)
+        t_epoch = time.time()
+        losses = []
+        for it, batch in enumerate(loader):
+            db = device_batch(batch)
+            if mesh is not None:
+                db = shard_batch(db, mesh)
+            state, tb = step_fn(state, db)
+            if it % log_interval == 0:
+                loss = float(tb['loss'])
+                losses.append(loss)
+                cur_lr = float(lr_sched(int(state.step))) if lr_sched else float('nan')
+                logger.info('epoch %d it %d/%d loss %.4f lr %.2e',
+                            epoch, it, iters_per_epoch, loss, cur_lr)
+                if tb_writer is not None:
+                    for k, v in tb.items():
+                        tb_writer.add_scalar(f'train/{k}', float(v), int(state.step))
+        logger.info('epoch %d done in %.1fs (mean logged loss %.4f)',
+                    epoch, time.time() - t_epoch,
+                    np.mean(losses) if losses else float('nan'))
+        if ckpt_dir:
+            save_checkpoint(state, ckpt_dir, epoch + 1,
+                            max_ckpt_save_num=max_ckpt_save_num, logger=logger)
+    return state

@@ -17,6 +17,7 @@ class BaseBEVBackbone(nn.Module):
     input_channels: int
     use_running_average: bool = False
     axis_name: str | None = None
+    dtype: object = None
 
     @property
     def num_bev_features(self):
@@ -42,10 +43,10 @@ class BaseBEVBackbone(nn.Module):
         out = dict(batch)
         for i, (n_layers, stride, nf) in enumerate(zip(layer_nums, layer_strides, num_filters)):
             x = ConvBNReLU(nf, 3, stride, padding=1, use_running_average=ra,
-                           axis_name=self.axis_name)(x)
+                           axis_name=self.axis_name, dtype=self.dtype)(x)
             for _ in range(n_layers):
                 x = ConvBNReLU(nf, 3, 1, padding=1, use_running_average=ra,
-                               axis_name=self.axis_name)(x)
+                               axis_name=self.axis_name, dtype=self.dtype)(x)
             total_stride = int(batch['spatial_features'].shape[1] / x.shape[1])
             out[f'spatial_features_{total_stride}x'] = x
             if upsample_strides:
@@ -53,11 +54,12 @@ class BaseBEVBackbone(nn.Module):
                 if us >= 1:
                     u = ConvBNReLU(num_upsample[i], int(us), int(us),
                                    use_running_average=ra, axis_name=self.axis_name,
-                                   transpose=True)(x)
+                                   transpose=True, dtype=self.dtype)(x)
                 else:
                     ds = int(np.round(1 / us))
                     u = ConvBNReLU(num_upsample[i], ds, ds, padding=0,
-                                   use_running_average=ra, axis_name=self.axis_name)(x)
+                                   use_running_average=ra, axis_name=self.axis_name,
+                                   dtype=self.dtype)(x)
                 ups.append(u)
             else:
                 ups.append(x)
@@ -66,6 +68,7 @@ class BaseBEVBackbone(nn.Module):
         if len(upsample_strides) > len(layer_nums):
             us = int(upsample_strides[-1])
             x = ConvBNReLU(x.shape[-1], us, us, use_running_average=ra,
-                           axis_name=self.axis_name, transpose=True)(x)
+                           axis_name=self.axis_name, transpose=True,
+                           dtype=self.dtype)(x)
         out['spatial_features_2d'] = x
         return out

@@ -32,6 +32,7 @@ class PFNLayer(nn.Module):
     use_norm: bool = True
     last_layer: bool = False
     axis_name: str | None = None
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, valid_mask, training):
@@ -39,7 +40,9 @@ class PFNLayer(nn.Module):
         # rows of a valid pillar enter the BN statistics, matching the
         # reference's BatchNorm1d over (num_pillars, C, P) (pillar_vfe.py:39).
         out = self.out_channels if self.last_layer else self.out_channels // 2
-        x = nn.Dense(out, use_bias=not self.use_norm)(x)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        x = nn.Dense(out, use_bias=not self.use_norm, dtype=self.dtype)(x)
         if self.use_norm:
             mask = jnp.broadcast_to(valid_mask[..., None], x.shape[:-1])
             x = MaskedBatchNorm(use_running_average=not training,
@@ -63,6 +66,7 @@ class PillarVFE(nn.Module):
     voxel_size: tuple
     point_cloud_range: tuple
     axis_name: str | None = None
+    dtype: object = None
 
     @nn.compact
     def __call__(self, batch, training=False):
@@ -109,6 +113,7 @@ class PillarVFE(nn.Module):
                 use_norm=cfg.get('USE_NORM', True),
                 last_layer=(i == len(num_filters) - 1),
                 axis_name=self.axis_name,
+                dtype=self.dtype,
             )(features, pillar_valid, training)
 
         # (B, V, C_out); zero invalid pillars so the scatter writes zeros

@@ -52,6 +52,7 @@ class AnchorHeadSingle(nn.Module):
     grid_size: tuple
     point_cloud_range: tuple
     predict_boxes_when_training: bool = False
+    dtype: object = None
 
     def setup(self):
         info = build_head_anchors(
@@ -65,14 +66,15 @@ class AnchorHeadSingle(nn.Module):
         # (anchor_head_single.py:38-41)
         pi = 0.01
         self.conv_cls = nn.Dense(
-            na * self.num_class,
+            na * self.num_class, dtype=self.dtype,
             bias_init=nn.initializers.constant(-np.log((1 - pi) / pi)))
         self.conv_box = nn.Dense(
-            na * code, kernel_init=nn.initializers.normal(0.001))
+            na * code, dtype=self.dtype,
+            kernel_init=nn.initializers.normal(0.001))
         self.use_dir = self.model_cfg.get('USE_DIRECTION_CLASSIFIER', False)
         if self.use_dir:
             self.num_dir_bins = self.model_cfg['NUM_DIR_BINS']
-            self.conv_dir = nn.Dense(na * self.num_dir_bins)
+            self.conv_dir = nn.Dense(na * self.num_dir_bins, dtype=self.dtype)
         assign_cfg = self.model_cfg['TARGET_ASSIGNER_CONFIG']
         assert assign_cfg.get('POS_FRACTION', -1) < 0, \
             'POS_FRACTION subsampling unused by shipped configs'
@@ -80,13 +82,15 @@ class AnchorHeadSingle(nn.Module):
     def __call__(self, batch, training=False):
         x = batch['spatial_features_2d']  # (B, H, W, C)
         b = x.shape[0]
-        cls_preds = self.conv_cls(x)  # (B, H, W, na*nc)
-        box_preds = self.conv_box(x)
+        # predictions in float32 regardless of backbone compute dtype:
+        # losses and box decode are precision-sensitive
+        cls_preds = self.conv_cls(x).astype(jnp.float32)  # (B, H, W, na*nc)
+        box_preds = self.conv_box(x).astype(jnp.float32)
         out = dict(batch)
         fwd = {'cls_preds': cls_preds, 'box_preds': box_preds}
         dir_preds = None
         if self.use_dir:
-            dir_preds = self.conv_dir(x)
+            dir_preds = self.conv_dir(x).astype(jnp.float32)
             fwd['dir_cls_preds'] = dir_preds
 
         info = self._anchor_info

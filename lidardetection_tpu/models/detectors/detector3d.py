@@ -36,6 +36,10 @@ class Detector3D(nn.Module):
 
     def setup(self):
         cfg = self.model_cfg
+        import jax.numpy as jnp
+        dtype_name = cfg.get('COMPUTE_DTYPE', 'float32')
+        self.compute_dtype = None if dtype_name in (None, 'float32') \
+            else jnp.dtype(dtype_name)
         info = self.dataset_info
         grid_size = tuple(info['grid_size'])
         pc_range = tuple(info['point_cloud_range'])
@@ -54,7 +58,7 @@ class Detector3D(nn.Module):
                 self.vfe = PillarVFE(
                     model_cfg=cfg['VFE'], num_point_features=num_point_features,
                     voxel_size=voxel_size, point_cloud_range=pc_range,
-                    axis_name=self.axis_name)
+                    axis_name=self.axis_name, dtype=self.compute_dtype)
                 vfe_out = cfg['VFE']['NUM_FILTERS'][-1]
             else:
                 raise NotImplementedError(name)
@@ -80,7 +84,7 @@ class Detector3D(nn.Module):
         if cfg.get('BACKBONE_2D'):
             self.backbone_2d = BaseBEVBackbone(
                 model_cfg=cfg['BACKBONE_2D'], input_channels=bev_channels,
-                axis_name=self.axis_name)
+                axis_name=self.axis_name, dtype=self.compute_dtype)
             bev_channels = self.backbone_2d.num_bev_features
             modules.append('backbone_2d')
 
@@ -96,6 +100,7 @@ class Detector3D(nn.Module):
                     grid_size=self._head_grid_size(grid_size),
                     point_cloud_range=pc_range,
                     predict_boxes_when_training=bool(cfg.get('ROI_HEAD')),
+                    dtype=self.compute_dtype,
                 )
             else:
                 raise NotImplementedError(name)

@@ -42,25 +42,36 @@ def post_processing(batch, post_cfg, num_class):
     else:
         label_src = None
 
-    def one(boxes, scores_nc, labels_src):
-        scores = scores_nc.max(axis=-1)
-        arg = scores_nc.argmax(axis=-1).astype(jnp.int32)
-        labels = labels_src if labels_src is not None else arg + 1
-        idx, mask, num = nms_utils.class_agnostic_nms(
-            scores, boxes, nms_cfg, score_thresh)
-        sel_boxes = boxes[idx] * mask[:, None]
-        sel_scores = jnp.where(mask, scores[idx], 0.0)
-        sel_labels = jnp.where(mask, labels[idx], 0)
-        return sel_boxes, sel_scores, sel_labels, mask, num
+    from ...core.iou3d import nms_bev_batched, nms_normal_bev
 
-    if label_src is not None:
-        out = jax.vmap(one)(box_preds, cls_preds, label_src.astype(jnp.int32))
+    scores = cls_preds.max(axis=-1)  # (B, N)
+    arg = cls_preds.argmax(axis=-1).astype(jnp.int32)
+    labels = label_src.astype(jnp.int32) if label_src is not None else arg + 1
+    valid = jnp.ones(scores.shape, dtype=bool)
+    if score_thresh is not None:
+        valid = scores >= score_thresh
+
+    post = int(nms_cfg['NMS_POST_MAXSIZE'])
+    if nms_cfg['NMS_TYPE'] == 'nms_gpu':
+        idx, mask, num = nms_bev_batched(
+            box_preds[..., 0:7], scores,
+            thresh=nms_cfg['NMS_THRESH'],
+            pre_maxsize=int(nms_cfg['NMS_PRE_MAXSIZE']),
+            post_maxsize=post, valid_mask=valid)
     else:
-        out = jax.vmap(lambda b, s: one(b, s, None))(box_preds, cls_preds)
-    boxes, scores, labels, mask, num = out
+        idx, mask, num = jax.vmap(
+            lambda b, s, v: nms_normal_bev(
+                b, s, nms_cfg['NMS_THRESH'],
+                int(nms_cfg['NMS_PRE_MAXSIZE']), post, v)
+        )(box_preds[..., 0:7], scores, valid)
+
+    sel_boxes = jnp.take_along_axis(box_preds, idx[..., None], axis=1) \
+        * mask[..., None]
+    sel_scores = jnp.where(mask, jnp.take_along_axis(scores, idx, axis=1), 0.0)
+    sel_labels = jnp.where(mask, jnp.take_along_axis(labels, idx, axis=1), 0)
     return {
-        'pred_boxes': boxes, 'pred_scores': scores, 'pred_labels': labels,
-        'pred_mask': mask, 'num_preds': num,
+        'pred_boxes': sel_boxes, 'pred_scores': sel_scores,
+        'pred_labels': sel_labels, 'pred_mask': mask, 'num_preds': num,
     }
 
 

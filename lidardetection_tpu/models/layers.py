@@ -79,7 +79,11 @@ class MaskedBatchNorm(nn.Module):
 
 
 class ConvBNReLU(nn.Module):
-    """Conv2d(kernel, stride, no bias) + BN + ReLU, NHWC."""
+    """Conv2d(kernel, stride, no bias) + BN + ReLU, NHWC.
+
+    `dtype` is the compute dtype (bfloat16 targets the MXU; params stay
+    float32 and BN statistics accumulate in float32 regardless).
+    """
 
     features: int
     kernel_size: int = 3
@@ -88,21 +92,24 @@ class ConvBNReLU(nn.Module):
     use_running_average: bool = False
     axis_name: str | None = None
     transpose: bool = False
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         if self.transpose:
             x = nn.ConvTranspose(
                 self.features, (self.kernel_size, self.kernel_size),
                 strides=(self.stride, self.stride), padding='VALID',
-                use_bias=False)(x)
+                use_bias=False, dtype=self.dtype)(x)
         else:
             pad = self.padding
             if isinstance(pad, int):
                 pad = [(pad, pad), (pad, pad)]
             x = nn.Conv(self.features, (self.kernel_size, self.kernel_size),
                         strides=(self.stride, self.stride), padding=pad,
-                        use_bias=False)(x)
+                        use_bias=False, dtype=self.dtype)(x)
         x = MaskedBatchNorm(use_running_average=self.use_running_average,
                             axis_name=self.axis_name)(x)
         return nn.relu(x)

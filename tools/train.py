@@ -1,0 +1,103 @@
+"""Training CLI (mirrors tools/train.py:21-195).
+
+Single-process, multi-device: data parallelism comes from the jitted step's
+GSPMD shardings over the local mesh (no torch.distributed launcher; for
+multi-host pods, run one process per host with jax.distributed.initialize).
+"""
+
+import argparse
+import datetime
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def parse_config():
+    parser = argparse.ArgumentParser(description='train a detector')
+    parser.add_argument('--cfg_file', type=str, required=True)
+    parser.add_argument('--batch_size', type=int, default=None,
+                        help='global batch size (default: cfg per-chip size x n_chips)')
+    parser.add_argument('--epochs', type=int, default=None)
+    parser.add_argument('--extra_tag', type=str, default='default')
+    parser.add_argument('--max_ckpt_save_num', type=int, default=30)
+    parser.add_argument('--workers', type=int, default=4)
+    parser.add_argument('--set', dest='set_cfgs', default=None, nargs=argparse.REMAINDER)
+    parser.add_argument('--synthetic', action='store_true',
+                        help='train on synthetic scenes (no dataset on disk)')
+    parser.add_argument('--num_scenes', type=int, default=64)
+    parser.add_argument('--cpu', action='store_true')
+    parser.add_argument('--no_eval', action='store_true')
+    args = parser.parse_args()
+
+    from lidardetection_tpu.config import cfg, cfg_from_list, cfg_from_yaml_file
+    cfg_from_yaml_file(args.cfg_file, cfg)
+    if args.set_cfgs is not None:
+        cfg_from_list(args.set_cfgs, cfg)
+    return args, cfg
+
+
+def main():
+    args, cfg = parse_config()
+    if args.cpu:
+        import jax
+        jax.config.update('jax_platforms', 'cpu')
+    import jax
+
+    from lidardetection_tpu.datasets import build_dataloader
+    from lidardetection_tpu.engine.evaluator import eval_one_epoch
+    from lidardetection_tpu.engine.trainer import train_model
+    from lidardetection_tpu.models import build_network
+    from lidardetection_tpu.parallel.mesh import make_mesh
+    from lidardetection_tpu.parallel.train_step import device_batch
+    from lidardetection_tpu.utils.common import create_logger, set_random_seed
+
+    set_random_seed(42)
+    n_dev = len(jax.devices())
+    batch_size = args.batch_size or cfg.OPTIMIZATION.BATCH_SIZE_PER_GPU * n_dev
+    assert batch_size % n_dev == 0
+    epochs = args.epochs or cfg.OPTIMIZATION.NUM_EPOCHS
+
+    output_dir = Path('output') / cfg.EXP_GROUP_PATH / cfg.TAG / args.extra_tag
+    ckpt_dir = output_dir / 'ckpt'
+    output_dir.mkdir(parents=True, exist_ok=True)
+    log_file = output_dir / f'log_train_{datetime.datetime.now():%Y%m%d-%H%M%S}.txt'
+    logger = create_logger(log_file)
+    logger.info('devices: %s, global batch %d', jax.devices(), batch_size)
+
+    if args.synthetic:
+        cfg.DATA_CONFIG.DATASET = 'SyntheticDataset'
+        if 'DATA_AUGMENTOR' in cfg.DATA_CONFIG:
+            del cfg.DATA_CONFIG.DATA_AUGMENTOR
+        extra = {'num_scenes': args.num_scenes}
+    else:
+        extra = {}
+
+    dataset, loader = build_dataloader(
+        cfg.DATA_CONFIG, cfg.CLASS_NAMES, batch_size=batch_size, training=True,
+        logger=logger, workers=args.workers, **extra)
+    model = build_network(cfg.MODEL, len(cfg.CLASS_NAMES), cfg.CLASS_NAMES,
+                          dataset.dataset_info)
+    batch0 = next(iter(loader))
+    variables = model.init(jax.random.PRNGKey(0), device_batch(batch0),
+                           training=False)
+    n_params = sum(x.size for x in jax.tree.leaves(variables['params']))
+    logger.info('model %s: %.2fM params', cfg.MODEL.NAME, n_params / 1e6)
+
+    mesh = make_mesh() if n_dev > 1 else None
+    state = train_model(model, variables, loader, cfg.OPTIMIZATION, epochs,
+                        str(ckpt_dir), logger, mesh=mesh,
+                        max_ckpt_save_num=args.max_ckpt_save_num)
+
+    if not args.no_eval:
+        test_set, test_loader = build_dataloader(
+            cfg.DATA_CONFIG, cfg.CLASS_NAMES, batch_size=batch_size,
+            training=False, logger=logger, **extra)
+        variables = {'params': state.params, 'batch_stats': state.batch_stats}
+        eval_one_epoch(model, variables, test_loader, cfg.MODEL.POST_PROCESSING,
+                       cfg.CLASS_NAMES, logger, mesh=mesh,
+                       result_dir=str(output_dir / 'eval'))
+
+
+if __name__ == '__main__':
+    main()

@@ -12,6 +12,7 @@ import flax.linen as nn
 
 from ..backbones_2d.bev_backbone import BaseBEVBackbone
 from ..backbones_2d.map_to_bev import HeightCompression, PointPillarScatter
+from ..backbones_3d.spconv_backbone import VoxelBackBone8x
 from ..backbones_3d.vfe import MeanVFE, PillarVFE
 from ..dense_heads.anchor_head import AnchorHeadSingle, anchor_head_loss
 
@@ -65,7 +66,16 @@ class Detector3D(nn.Module):
             modules.append('vfe')
 
         if cfg.get('BACKBONE_3D'):
-            raise NotImplementedError('sparse 3D backbones arrive with SECOND')
+            name = cfg['BACKBONE_3D']['NAME']
+            if name in ('VoxelBackBone8x', 'VoxelResBackBone8x'):
+                self.backbone_3d = VoxelBackBone8x(
+                    model_cfg=cfg['BACKBONE_3D'], input_channels=vfe_out,
+                    grid_size=grid_size, axis_name=self.axis_name,
+                    dtype=self.compute_dtype,
+                    residual=(name == 'VoxelResBackBone8x'))
+            else:
+                raise NotImplementedError(name)
+            modules.append('backbone_3d')
 
         if cfg.get('MAP_TO_BEV'):
             name = cfg['MAP_TO_BEV']['NAME']

@@ -1,0 +1,281 @@
+"""Sparse 3D convolution engine (rulebook gather-GEMM-scatter).
+
+TPU-native replacement for the external spconv dependency the reference
+builds its 3D backbones on (pcdet/models/backbones_3d/spconv_backbone.py:3:
+SubMConv3d / SparseConv3d / SparseInverseConv3d over SparseConvTensor, with
+rulebooks cached per indice_key, :84-106).
+
+Design (everything static-shape, jit-safe, vmapped over batch):
+  * active voxels live in a fixed-capacity table: coords (V, 3) int32
+    (z, y, x), -1-padded, plus a valid count;
+  * voxel coords are sorted by linear key once per tensor; neighbor lookup
+    is a vectorized binary search (jnp.searchsorted) instead of spconv's
+    GPU hash table — O(K·V·log V) fully-parallel gathers;
+  * a rulebook is a dense (V_out, K) table of input row indices (V_in =
+    miss -> routed to an all-zero spill row);
+  * the convolution itself is one MXU matmul: gather (V_out, K, C_in),
+    reshape to (V_out, K*C_in), multiply by the (K*C_in, C_out) kernel —
+    the gather-GEMM-scatter of spconv with the scatter made trivial by
+    producing outputs already in table order;
+  * strided output coordinates are derived by enumerating the
+    ceil(K/stride) candidate parents per input voxel, then sort+unique to a
+    fixed capacity (same construction as ops.voxelize.voxelize_jax);
+  * inverse convolution reuses the coords of the paired downsample layer
+    (the indice_key mechanism) with the rulebook roles swapped.
+"""
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class SparseTensor(NamedTuple):
+    """Batched fixed-capacity sparse voxel tensor.
+
+    features: (B, V, C) float; coords: (B, V, 3) int32 (z, y, x), -1 pad;
+    num_voxels: (B,) int32; spatial_shape: static (D, H, W).
+
+    Invariant: rows are sorted by linear key (z, y, x) with padding rows
+    (key = D*H*W) at the tail — established by `from_unsorted`.
+    """
+
+    features: jnp.ndarray
+    coords: jnp.ndarray
+    num_voxels: jnp.ndarray
+    spatial_shape: tuple
+
+    @property
+    def valid_mask(self):
+        return self.coords[..., 0] >= 0
+
+
+def linear_key(coords, spatial_shape):
+    """(..., 3) zyx -> linear key; invalid (-1) rows get the sentinel D*H*W."""
+    d, h, w = spatial_shape
+    key = (coords[..., 0] * h + coords[..., 1]) * w + coords[..., 2]
+    return jnp.where(coords[..., 0] < 0, d * h * w, key)
+
+
+def from_unsorted(features, coords, num_voxels, spatial_shape):
+    """Sort rows by linear key -> canonical SparseTensor."""
+    def one(f, c):
+        key = linear_key(c, spatial_shape)
+        order = jnp.argsort(key)
+        return f[order], c[order]
+
+    f, c = jax.vmap(one)(features, coords)
+    return SparseTensor(f, c, num_voxels, spatial_shape)
+
+
+def _lookup_rows(sorted_keys, query_keys, sentinel):
+    """Row index of each query key in sorted_keys, or `miss_row` = len(keys).
+
+    sorted_keys: (V,) ascending with sentinel-padded tail; query (Q,).
+    """
+    v = sorted_keys.shape[0]
+    pos = jnp.searchsorted(sorted_keys, query_keys)
+    pos = jnp.clip(pos, 0, v - 1)
+    hit = (sorted_keys[pos] == query_keys) & (query_keys < sentinel)
+    return jnp.where(hit, pos, v).astype(jnp.int32)
+
+
+def _kernel_offsets(kernel_size):
+    """(K, 3) zyx offsets, row-major (matches spconv weight layout order)."""
+    kz, ky, kx = kernel_size
+    oz, oy, ox = np.meshgrid(np.arange(kz), np.arange(ky), np.arange(kx),
+                             indexing='ij')
+    return np.stack([oz, oy, ox], axis=-1).reshape(-1, 3)
+
+
+def build_subm_rulebook(st: SparseTensor, kernel_size=(3, 3, 3)):
+    """Submanifold rulebook: outputs = inputs; neighbor per kernel offset.
+
+    Returns (B, V, K) int32 rows into the input table (V = miss).
+    SubMConv3d semantics: same coords in/out, kernel centered (odd sizes).
+    """
+    offsets = _kernel_offsets(kernel_size)
+    center = (np.asarray(kernel_size) - 1) // 2
+    rel = jnp.asarray(offsets - center, jnp.int32)  # (K, 3)
+    d, h, w = st.spatial_shape
+    sentinel = d * h * w
+
+    def one(coords):
+        keys = linear_key(coords, st.spatial_shape)  # sorted
+        nbr = coords[:, None, :] + rel[None, :, :]  # (V, K, 3)
+        in_range = jnp.all((nbr >= 0) & (nbr < jnp.asarray([d, h, w])), axis=-1)
+        nbr_keys = linear_key(nbr, st.spatial_shape)
+        nbr_keys = jnp.where(in_range & (coords[:, 0:1] >= 0), nbr_keys, sentinel)
+        return _lookup_rows(keys, nbr_keys.reshape(-1), sentinel).reshape(nbr_keys.shape)
+
+    return jax.vmap(one)(st.coords)
+
+
+def sparse_conv_apply(features, valid_mask, rulebook, weights):
+    """Gather-GEMM: out[o] = sum_k W[k] @ in[rule[o, k]].
+
+    Args:
+        features: (B, V_in, C_in); valid_mask: (B, V_out) output validity;
+        rulebook: (B, V_out, K) rows into V_in (V_in = miss);
+        weights: (K, C_in, C_out).
+    Returns: (B, V_out, C_out).
+    """
+    k, cin, cout = weights.shape
+
+    def one(f, rule, valid):
+        f_ext = jnp.concatenate([f, jnp.zeros((1, f.shape[1]), f.dtype)], axis=0)
+        gathered = f_ext[rule]  # (V_out, K, C_in)
+        out = jax.lax.dot_general(
+            gathered.reshape(gathered.shape[0], k * cin),
+            weights.reshape(k * cin, cout),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return out * valid[:, None]
+
+    return jax.vmap(one)(features, rulebook, valid_mask)
+
+
+def build_strided_out_coords(st: SparseTensor, kernel_size, stride, padding,
+                             out_capacity):
+    """Active output set of a strided SparseConv3d, fixed capacity.
+
+    Output o (per dim) receives input i iff o*s - p + k == i for some
+    k in [0, K) -> candidate parents per input: o = (i + p - k)/s for the
+    k making it divisible. Enumerate ceil(K/s) candidates per dim, then
+    sort+unique (capacity-capped) -> canonical sorted output table.
+
+    Returns: out_coords (B, Vc, 3), out_num (B,), with
+    Vc = out_capacity; plus static out_spatial_shape.
+    """
+    ks = np.asarray(kernel_size)
+    s = np.asarray(stride)
+    p = np.asarray(padding)
+    d, h, w = st.spatial_shape
+    out_shape = tuple((np.asarray([d, h, w]) + 2 * p - (ks - 1) - 1) // s + 1)
+
+    # per-dim candidate output coords: o = floor((i + p - k)/s) over the
+    # k with exact divisibility; enumerate j in [0, ceil(K/s))
+    n_cand = [int(np.ceil(ks[i] / s[i])) for i in range(3)]
+
+    def one(coords):
+        valid = coords[:, 0] >= 0
+        cands = []
+        for dim in range(3):
+            i = coords[:, dim]
+            os_ = []
+            for j in range(n_cand[dim]):
+                # smallest k >= 0 with (i + p - k) % s == 0 is (i + p) % s;
+                # successive candidates step k by s
+                k0 = (i + p[dim]) % s[dim]
+                kk = k0 + j * s[dim]
+                o = (i + p[dim] - kk) // s[dim]
+                ok = (kk < ks[dim]) & (o >= 0) & (o < out_shape[dim])
+                os_.append(jnp.where(ok, o, -1))
+            cands.append(jnp.stack(os_, axis=1))  # (V, n_cand)
+        # cartesian product over dims -> (V, n0*n1*n2, 3)
+        cz = cands[0][:, :, None, None]
+        cy = cands[1][:, None, :, None]
+        cx = cands[2][:, None, None, :]
+        shp = (coords.shape[0], n_cand[0], n_cand[1], n_cand[2])
+        grid = jnp.stack([
+            jnp.broadcast_to(cz, shp), jnp.broadcast_to(cy, shp),
+            jnp.broadcast_to(cx, shp)
+        ], axis=-1).reshape(coords.shape[0], -1, 3)
+        good = jnp.all(grid >= 0, axis=-1) & valid[:, None]
+        od, oh, ow = out_shape
+        keys = (grid[..., 0] * oh + grid[..., 1]) * ow + grid[..., 2]
+        sentinel = od * oh * ow
+        keys = jnp.where(good, keys, sentinel).reshape(-1)
+
+        skeys = jnp.sort(keys)
+        is_new = (skeys < sentinel) & jnp.concatenate(
+            [jnp.array([True]), skeys[1:] != skeys[:-1]])
+        uid = jnp.cumsum(is_new) - 1
+        n_unique = jnp.sum(is_new)
+        slot = jnp.where(is_new & (uid < out_capacity), uid, out_capacity)
+        out_keys = jnp.full((out_capacity + 1,), sentinel, jnp.int32)
+        out_keys = out_keys.at[slot].set(skeys.astype(jnp.int32))[:out_capacity]
+        oz = out_keys // (oh * ow)
+        oyx = out_keys % (oh * ow)
+        out_coords = jnp.stack([oz, oyx // ow, oyx % ow], axis=-1)
+        out_coords = jnp.where(out_keys[:, None] < sentinel, out_coords, -1)
+        return out_coords.astype(jnp.int32), jnp.minimum(n_unique, out_capacity).astype(jnp.int32)
+
+    out_coords, out_num = jax.vmap(one)(st.coords)
+    return out_coords, out_num, out_shape
+
+
+def build_strided_rulebook(st: SparseTensor, out_coords, out_spatial_shape,
+                           kernel_size, stride, padding):
+    """Rulebook for a strided conv: input row feeding (output o, offset k).
+
+    in = o*s - p + k per dim; look the key up in the sorted input table.
+    Returns (B, V_out, K) int32.
+    """
+    offsets = jnp.asarray(_kernel_offsets(kernel_size), jnp.int32)  # (K, 3)
+    s = jnp.asarray(stride, jnp.int32)
+    p = jnp.asarray(padding, jnp.int32)
+    d, h, w = st.spatial_shape
+    sentinel = d * h * w
+
+    def one(in_coords, o_coords):
+        keys = linear_key(in_coords, st.spatial_shape)
+        in_pos = o_coords[:, None, :] * s[None, None, :] - p + offsets[None, :, :]
+        ok = jnp.all((in_pos >= 0) & (in_pos < jnp.asarray([d, h, w])), axis=-1)
+        ok = ok & (o_coords[:, 0:1] >= 0)
+        q = linear_key(in_pos, st.spatial_shape)
+        q = jnp.where(ok, q, sentinel)
+        return _lookup_rows(keys, q.reshape(-1), sentinel).reshape(q.shape)
+
+    return jax.vmap(one)(st.coords, out_coords)
+
+
+def build_inverse_rulebook(down: SparseTensor, up_coords, up_spatial_shape,
+                           kernel_size, stride, padding):
+    """Rulebook for SparseInverseConv3d: restore the pre-downsample coords.
+
+    Output set = `up_coords` (saved from before the paired strided conv);
+    contribution: up voxel u receives down voxel o for kernel offset k iff
+    o*s - p + k == u (the forward relation with roles swapped). Kernel
+    offsets index the same (K,) weight layout as the forward conv.
+    Returns (B, V_up, K) rows into the `down` table.
+    """
+    offsets = jnp.asarray(_kernel_offsets(kernel_size), jnp.int32)
+    s = jnp.asarray(stride, jnp.int32)
+    p = jnp.asarray(padding, jnp.int32)
+    dd, dh, dw = down.spatial_shape
+    sentinel = dd * dh * dw
+
+    def one(down_coords, u_coords):
+        keys = linear_key(down_coords, down.spatial_shape)
+        # o = (u + p - k) / s where divisible
+        num = u_coords[:, None, :] + p - offsets[None, :, :]
+        div_ok = jnp.all(num % s == 0, axis=-1)
+        o = num // s
+        ok = div_ok & jnp.all(
+            (o >= 0) & (o < jnp.asarray([dd, dh, dw])), axis=-1)
+        ok = ok & (u_coords[:, 0:1] >= 0)
+        q = linear_key(o, down.spatial_shape)
+        q = jnp.where(ok, q, sentinel)
+        return _lookup_rows(keys, q.reshape(-1), sentinel).reshape(q.shape)
+
+    return jax.vmap(one)(down.coords, up_coords)
+
+
+def sparse_to_dense(st: SparseTensor):
+    """SparseConvTensor.dense(): (B, D, H, W, C) NDHWC (vs torch NCDHW)."""
+    d, h, w = st.spatial_shape
+    c = st.features.shape[-1]
+
+    def one(f, coords):
+        valid = coords[:, 0] >= 0
+        key = linear_key(coords, st.spatial_shape)
+        key = jnp.where(valid, key, d * h * w)
+        canvas = jnp.zeros((d * h * w + 1, c), f.dtype)
+        canvas = canvas.at[key].set(jnp.where(valid[:, None], f, 0))[:-1]
+        return canvas.reshape(d, h, w, c)
+
+    return jax.vmap(one)(st.features, st.coords)

@@ -1,0 +1,139 @@
+"""PointNet++ primitive ops, TPU-native.
+
+Replaces both CUDA extension families of the reference
+(pcdet/ops/pointnet2/pointnet2_batch/src/*.cu and pointnet2_stack/src/*.cu):
+farthest point sampling, ball query, grouping, three-NN interpolation. The
+reference maintains two layouts (dense batch and ragged "stack" with
+prefix-count offsets); here there is one: fixed-capacity padded batches
+(B, N, ...) with validity masks — the ragged stack layout exists only to
+dodge padding, which XLA wants anyway.
+
+All functions are jit/vmap/grad-safe with static shapes.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+_BIG = 1e10
+
+
+def farthest_point_sample(xyz, num_valid, npoint):
+    """Iterative farthest point sampling.
+
+    Mirrors furthest_point_sampling_kernel
+    (pointnet2_batch/src/sampling_gpu.cu:101-170): start at index 0, then
+    repeatedly take the point maximizing the min-distance to the selected
+    set. Padding points (index >= num_valid) are never selected.
+
+    Args:
+        xyz: (B, N, 3); num_valid: (B,) int32; npoint: static int.
+    Returns:
+        (B, npoint) int32 indices. If num_valid < npoint, selection repeats
+        the farthest pattern over valid points (distance of selected points
+        is 0, so argmax keeps picking valid points deterministically).
+    """
+
+    def one(pts, n):
+        nn = pts.shape[0]
+        valid = jnp.arange(nn) < n
+        dist = jnp.where(valid, _BIG, -1.0)
+
+        def body(i, carry):
+            dist, last, out = carry
+            d = jnp.sum((pts - pts[last]) ** 2, axis=-1)
+            dist = jnp.minimum(dist, jnp.where(valid, d, -1.0))
+            nxt = jnp.argmax(dist).astype(jnp.int32)
+            out = out.at[i].set(nxt)
+            return dist, nxt, out
+
+        out0 = jnp.zeros((npoint,), jnp.int32)
+        # index 0 is always the first sample (sampling_gpu.cu: idx 0 seed)
+        _, _, out = jax.lax.fori_loop(
+            1, npoint, body, (dist, jnp.int32(0), out0))
+        return out
+
+    return jax.vmap(one)(xyz, num_valid)
+
+
+def ball_query(radius, nsample, xyz, xyz_num, new_xyz, new_xyz_valid=None):
+    """First-`nsample` neighbors within `radius` (index order).
+
+    Mirrors ball_query_kernel (pointnet2_batch/src/ball_query_gpu.cu:15-54):
+    slots are pre-filled with the FIRST neighbor found, so groups with fewer
+    than nsample neighbors repeat it; centers with no neighbor yield all-0
+    indices. Returns (B, M, nsample) int32 plus empty mask (B, M).
+
+    Args:
+        xyz: (B, N, 3) source points; xyz_num: (B,) valid counts;
+        new_xyz: (B, M, 3) query centers; new_xyz_valid: (B, M) bool.
+    """
+    r2 = radius * radius
+
+    def one(src, n, centers, cvalid):
+        nn = src.shape[0]
+        valid = jnp.arange(nn) < n
+        d2 = jnp.sum((centers[:, None, :] - src[None, :, :]) ** 2, axis=-1)
+        mask = (d2 < r2) & valid[None, :]  # (M, N)
+        if cvalid is not None:
+            mask = mask & cvalid[:, None]
+        rank = jnp.cumsum(mask, axis=1) - 1  # (M, N)
+        m = centers.shape[0]
+        # scatter col index j into slot (i, rank) for the first nsample hits
+        slot = jnp.where(mask & (rank < nsample), rank, nsample)
+        out = jnp.zeros((m, nsample + 1), jnp.int32)
+        cols = jnp.broadcast_to(jnp.arange(nn, dtype=jnp.int32)[None, :], (m, nn))
+        out = out.at[jnp.arange(m)[:, None], slot].set(cols)[:, :nsample]
+        cnt = jnp.minimum(rank[:, -1] + 1, nsample)  # hits per center
+        empty = cnt <= 0
+        first = out[:, 0]
+        fill = jnp.where(empty, 0, first)
+        taken = jnp.arange(nsample)[None, :] < cnt[:, None]
+        out = jnp.where(taken, out, fill[:, None])
+        return out, empty
+
+    if new_xyz_valid is None:
+        return jax.vmap(lambda s, n, c: one(s, n, c, None))(xyz, xyz_num, new_xyz)
+    return jax.vmap(one)(xyz, xyz_num, new_xyz, new_xyz_valid)
+
+
+def group_points(features, idx):
+    """Gather feature groups: (B, N, C), (B, M, ns) -> (B, M, ns, C).
+
+    Replaces group_points_kernel (group_points_gpu.cu:14-52) — on TPU a
+    plain batched gather.
+    """
+    return jax.vmap(lambda f, i: f[i])(features, idx)
+
+
+def three_nn(query, query_valid, src, src_num):
+    """3 nearest source points per query (interpolate_gpu.cu:16-52).
+
+    Args: query (B, M, 3); src (B, N, 3); src_num (B,).
+    Returns: dists (B, M, 3), idx (B, M, 3) int32.
+    """
+
+    def one(q, s, n):
+        valid = jnp.arange(s.shape[0]) < n
+        d2 = jnp.sum((q[:, None, :] - s[None, :, :]) ** 2, axis=-1)
+        d2 = jnp.where(valid[None, :], d2, _BIG)
+        neg, idx = jax.lax.top_k(-d2, 3)
+        return jnp.sqrt(jnp.maximum(-neg, 0.0)), idx.astype(jnp.int32)
+
+    return jax.vmap(one)(query, src, src_num)
+
+
+def three_interpolate(features, idx, weight):
+    """Weighted sum of 3 neighbors (interpolate_gpu.cu:107-149).
+
+    features (B, N, C); idx (B, M, 3); weight (B, M, 3) -> (B, M, C).
+    """
+    gathered = group_points(features, idx)  # (B, M, 3, C)
+    return jnp.sum(gathered * weight[..., None], axis=2)
+
+
+def three_nn_weights(dists):
+    """Inverse-distance weights (pointnet2 FP module convention)."""
+    recip = 1.0 / jnp.clip(dists, 1e-8, None) ** 2
+    return recip / jnp.sum(recip, axis=-1, keepdims=True)

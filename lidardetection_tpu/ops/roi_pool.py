@@ -1,0 +1,111 @@
+"""RoI point pooling ops.
+
+Replaces the reference's roiaware_pool3d and roipoint_pool3d CUDA extensions
+(pcdet/ops/roiaware_pool3d/src/roiaware_pool3d_kernel.cu,
+pcdet/ops/roipoint_pool3d/src/roipoint_pool3d_kernel.cu) with vectorized
+masked gathers/scatters over fixed capacities.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from ..core.geometry import points_in_boxes_3d
+
+
+def roipoint_pool3d(points, point_features, point_num, rois, roi_valid,
+                    num_sampled_points=512):
+    """Sample a fixed number of in-RoI points per box.
+
+    Mirrors roipool3d (roipoint_pool3d_kernel.cu:38-130): first
+    `num_sampled_points` points inside each (enlarged) RoI in index order;
+    boxes with fewer points repeat the first found (the CUDA kernel
+    duplicates via modulo); empty boxes flagged.
+
+    Args:
+        points: (B, N, 3); point_features: (B, N, C); point_num: (B,);
+        rois: (B, R, 7+); roi_valid: (B, R) bool.
+    Returns:
+        pooled (B, R, S, 3 + C), empty_flag (B, R) bool.
+    """
+    s = num_sampled_points
+
+    def one(pts, feats, n, boxes, bvalid):
+        nn = pts.shape[0]
+        pvalid = jnp.arange(nn) < n
+        inside = points_in_boxes_3d(pts, boxes[:, :7])  # (N, R)
+        inside = inside & pvalid[:, None] & bvalid[None, :]
+        inside = inside.T  # (R, N)
+        rank = jnp.cumsum(inside, axis=1) - 1
+        r = boxes.shape[0]
+        slot = jnp.where(inside & (rank < s), rank, s)
+        idx = jnp.zeros((r, s + 1), jnp.int32)
+        cols = jnp.broadcast_to(jnp.arange(nn, dtype=jnp.int32)[None, :], (r, nn))
+        idx = idx.at[jnp.arange(r)[:, None], slot].set(cols)[:, :s]
+        cnt = jnp.minimum(rank[:, -1] + 1, s)
+        empty = cnt <= 0
+        # repeat pattern: slot k >= cnt takes slot k % cnt (cuda modulo dup)
+        k = jnp.arange(s)[None, :]
+        safe_cnt = jnp.maximum(cnt, 1)[:, None]
+        src_slot = jnp.where(k < safe_cnt, k, k % safe_cnt)
+        idx = jnp.take_along_axis(idx, src_slot, axis=1)
+        data = jnp.concatenate([pts, feats], axis=-1)  # (N, 3+C)
+        pooled = data[idx]  # (R, S, 3+C)
+        pooled = jnp.where(empty[:, None, None], 0.0, pooled)
+        return pooled, empty
+
+    return jax.vmap(one)(points, point_features, point_num, rois, roi_valid)
+
+
+def roiaware_pool3d(points, point_features, point_num, rois, roi_valid,
+                    out_size=(14, 14, 14), pool_method='max'):
+    """RoI-aware voxel-grid pooling (roiaware_pool3d_kernel.cu:111-235).
+
+    Each RoI is divided into an out_x*out_y*out_z local grid; point features
+    scatter into their cell with max (or mean) reduction.
+
+    Args:
+        points (B, N, 3); point_features (B, N, C); point_num (B,);
+        rois (B, R, 7); roi_valid (B, R).
+    Returns:
+        (B, R, out_x, out_y, out_z, C)
+    """
+    ox, oy, oz = out_size
+    ncell = ox * oy * oz
+
+    def one(pts, feats, n, boxes, bvalid):
+        nn, c = feats.shape
+        r = boxes.shape[0]
+        pvalid = jnp.arange(nn) < n
+        # local coords per (roi, point)
+        shift = pts[None, :, :] - boxes[:, None, 0:3]  # (R, N, 3)
+        cosa = jnp.cos(-boxes[:, 6])[:, None]
+        sina = jnp.sin(-boxes[:, 6])[:, None]
+        lx = shift[..., 0] * cosa - shift[..., 1] * sina
+        ly = shift[..., 0] * sina + shift[..., 1] * cosa
+        lz = shift[..., 2] + boxes[:, None, 5] / 2  # z from box bottom
+        dx, dy, dz = boxes[:, 3:4], boxes[:, 4:5], boxes[:, 5:6]
+        inside = ((jnp.abs(lx) < dx / 2) & (jnp.abs(ly) < dy / 2)
+                  & (lz >= 0) & (lz < dz))
+        inside = inside & pvalid[None, :] & bvalid[:, None]
+        cx = jnp.clip(((lx + dx / 2) / (dx / ox)).astype(jnp.int32), 0, ox - 1)
+        cy = jnp.clip(((ly + dy / 2) / (dy / oy)).astype(jnp.int32), 0, oy - 1)
+        cz = jnp.clip((lz / (dz / oz)).astype(jnp.int32), 0, oz - 1)
+        cell = (cx * oy + cy) * oz + cz  # (R, N)
+        flat = jnp.where(inside, jnp.arange(r)[:, None] * ncell + cell,
+                         r * ncell)
+        if pool_method == 'max':
+            canvas = jnp.full((r * ncell + 1, c), -jnp.inf, feats.dtype)
+            canvas = canvas.at[flat.reshape(-1)].max(
+                jnp.broadcast_to(feats[None], (r, nn, c)).reshape(-1, c))
+            canvas = canvas[:-1]
+            canvas = jnp.where(jnp.isinf(canvas), 0.0, canvas)
+        else:
+            ssum = jnp.zeros((r * ncell + 1, c), feats.dtype)
+            ssum = ssum.at[flat.reshape(-1)].add(
+                jnp.broadcast_to(feats[None], (r, nn, c)).reshape(-1, c))
+            cnt = jnp.zeros((r * ncell + 1, 1), feats.dtype)
+            cnt = cnt.at[flat.reshape(-1)].add(1.0)
+            canvas = (ssum / jnp.clip(cnt, 1.0, None))[:-1]
+        return canvas.reshape(r, ox, oy, oz, c)
+
+    return jax.vmap(one)(points, point_features, point_num, rois, roi_valid)

@@ -79,6 +79,10 @@ class PreviousResidualDecoder:
 
     code_size: int = 7
 
+    @property
+    def full_code_size(self):
+        return self.code_size
+
     @staticmethod
     def decode(box_encodings, anchors):
         xa, ya, za, dxa, dya, dza, ra = [anchors[..., i] for i in range(7)]
@@ -101,6 +105,10 @@ class PreviousResidualRoIDecoder:
     """Legacy RoI decoder: rg = ra - rt (box_coder_utils.py:112-141)."""
 
     code_size: int = 7
+
+    @property
+    def full_code_size(self):
+        return self.code_size
 
     @staticmethod
     def decode(box_encodings, anchors):
@@ -126,6 +134,10 @@ class PointResidualCoder:
     code_size: int = 8
     use_mean_size: bool = True
     mean_size: tuple = ()  # ((dx, dy, dz) per class), 1-indexed classes
+
+    @property
+    def full_code_size(self):
+        return self.code_size
 
     def _sizes_for(self, classes):
         mean = jnp.asarray(self.mean_size, dtype=jnp.float32)  # (num_cls, 3)

@@ -57,8 +57,11 @@ class DatasetTemplate:
     def dataset_info(self):
         """Static info the network builder needs."""
         return {
-            'grid_size': tuple(int(g) for g in self.grid_size),
-            'voxel_size': tuple(float(v) for v in self.voxel_size),
+            # point-based pipelines (PointRCNN) have no voxelizer -> None
+            'grid_size': tuple(int(g) for g in self.grid_size)
+            if self.grid_size is not None else None,
+            'voxel_size': tuple(float(v) for v in self.voxel_size)
+            if self.voxel_size is not None else None,
             'point_cloud_range': tuple(float(x) for x in self.point_cloud_range),
             'num_point_features': self.point_feature_encoder.num_point_features,
         }

@@ -1,0 +1,123 @@
+"""PointNet++ SA / FP flax modules (channels-last).
+
+Re-expresses pcdet/ops/pointnet2/pointnet2_batch/pointnet2_modules.py:10-160
+(PointnetSAModuleMSG / PointnetSAModule / PointnetFPModule) on the ops in
+lidardetection_tpu.ops.pointnet2. The shared MLPs are 1x1 Conv2d+BN+ReLU in
+the reference — here Dense+BN+ReLU over the (B, M, nsample, C) group tensor.
+SA/FP BatchNorms use torch defaults (eps 1e-5, momentum 0.1 -> flax 0.9),
+unlike the detector's 1e-3/0.01 BNs.
+"""
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ...ops import pointnet2 as p2
+from ..layers import MaskedBatchNorm
+
+
+class SharedMLP(nn.Module):
+    """Stack of Dense+BN+ReLU over the trailing channel dim."""
+
+    channels: tuple
+    axis_name: str | None = None
+    dtype: object = None
+    use_bn: bool = True
+
+    @nn.compact
+    def __call__(self, x, mask, training):
+        for c in self.channels:
+            if self.dtype is not None:
+                x = x.astype(self.dtype)
+            x = nn.Dense(c, use_bias=not self.use_bn, dtype=self.dtype)(x)
+            if self.use_bn:
+                x = MaskedBatchNorm(use_running_average=not training,
+                                    momentum=0.9, epsilon=1e-5,
+                                    axis_name=self.axis_name)(x, mask=mask)
+            x = nn.relu(x)
+        return x
+
+
+class PointnetSAModuleMSG(nn.Module):
+    """Multi-scale-grouping set abstraction (pointnet2_modules.py:58-100).
+
+    npoint None => GroupAll (single global group).
+    """
+
+    npoint: int | None
+    radii: tuple
+    nsamples: tuple
+    mlps: tuple  # tuple of channel tuples (without the input dim)
+    use_xyz: bool = True
+    axis_name: str | None = None
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, xyz, features, xyz_num, training, new_xyz=None,
+                 new_xyz_num=None):
+        """xyz (B, N, 3); features (B, N, C) or None; xyz_num (B,).
+
+        Returns new_xyz (B, npoint, 3), new_features (B, npoint, sum C_out),
+        new_xyz_num (B,).
+        """
+        b, n, _ = xyz.shape
+        if self.npoint is not None:
+            if new_xyz is None:
+                fps_idx = p2.farthest_point_sample(xyz, xyz_num, self.npoint)
+                new_xyz = p2.group_points(xyz, fps_idx[..., None]).squeeze(2)
+                new_xyz_num = jnp.minimum(xyz_num, self.npoint)
+            center_valid = jnp.arange(new_xyz.shape[1])[None, :] < new_xyz_num[:, None]
+        else:
+            new_xyz = jnp.zeros((b, 1, 3), xyz.dtype)
+            new_xyz_num = jnp.ones((b,), jnp.int32)
+            center_valid = jnp.ones((b, 1), bool)
+
+        outs = []
+        for radius, nsample, mlp in zip(self.radii, self.nsamples, self.mlps):
+            if self.npoint is not None:
+                idx, empty = p2.ball_query(radius, nsample, xyz, xyz_num,
+                                           new_xyz, center_valid)
+                grouped_xyz = p2.group_points(xyz, idx) - new_xyz[:, :, None, :]
+                grouped = grouped_xyz
+                if features is not None:
+                    gf = p2.group_points(features, idx)
+                    grouped = jnp.concatenate([grouped_xyz, gf], axis=-1) \
+                        if self.use_xyz else gf
+            else:
+                # GroupAll (pointnet2_utils.GroupAll): one group of all points
+                grouped_xyz = xyz[:, None, :, :]
+                grouped = grouped_xyz
+                if features is not None:
+                    gf = features[:, None, :, :]
+                    grouped = jnp.concatenate([grouped_xyz, gf], axis=-1) \
+                        if self.use_xyz else gf
+            mask = jnp.broadcast_to(center_valid[:, :, None], grouped.shape[:3])
+            out = SharedMLP(tuple(mlp), axis_name=self.axis_name,
+                            dtype=self.dtype)(grouped, mask, training)
+            out = out.max(axis=2)  # (B, M, C_out)
+            out = out * center_valid[..., None].astype(out.dtype)
+            outs.append(out)
+        return new_xyz, jnp.concatenate(outs, axis=-1), new_xyz_num
+
+
+class PointnetFPModule(nn.Module):
+    """Feature propagation (pointnet2_modules.py:120-160)."""
+
+    mlp: tuple
+    axis_name: str | None = None
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, unknown, known, unknown_feats, known_feats,
+                 unknown_num, known_num, training):
+        """unknown (B, n, 3), known (B, m, 3), feats channels-last."""
+        dists, idx = p2.three_nn(unknown, None, known, known_num)
+        weight = p2.three_nn_weights(dists)
+        interpolated = p2.three_interpolate(known_feats, idx, weight)
+        if unknown_feats is not None:
+            new_features = jnp.concatenate([interpolated, unknown_feats], axis=-1)
+        else:
+            new_features = interpolated
+        mask = jnp.arange(unknown.shape[1])[None, :] < unknown_num[:, None]
+        out = SharedMLP(tuple(self.mlp), axis_name=self.axis_name,
+                        dtype=self.dtype)(new_features, mask, training)
+        return out * mask[..., None].astype(out.dtype)

@@ -12,9 +12,12 @@ import flax.linen as nn
 
 from ..backbones_2d.bev_backbone import BaseBEVBackbone
 from ..backbones_2d.map_to_bev import HeightCompression, PointPillarScatter
+from ..backbones_3d.pointnet2_backbone import PointNet2MSG
 from ..backbones_3d.spconv_backbone import VoxelBackBone8x
 from ..backbones_3d.vfe import MeanVFE, PillarVFE
 from ..dense_heads.anchor_head import AnchorHeadSingle, anchor_head_loss
+from ..dense_heads.point_head import PointHeadBox, PointHeadSimple
+from ..roi_heads.pointrcnn_head import PointRCNNHead
 
 
 class Detector3D(nn.Module):
@@ -42,13 +45,16 @@ class Detector3D(nn.Module):
         self.compute_dtype = None if dtype_name in (None, 'float32') \
             else jnp.dtype(dtype_name)
         info = self.dataset_info
-        grid_size = tuple(info['grid_size'])
+        # point-based pipelines (PointRCNN) carry no voxel grid
+        grid_size = tuple(info['grid_size']) if info.get('grid_size') else None
         pc_range = tuple(info['point_cloud_range'])
-        voxel_size = tuple(info['voxel_size'])
+        voxel_size = tuple(info['voxel_size']) if info.get('voxel_size') else None
 
         modules = []
         num_point_features = info['num_point_features']
         bev_channels = None
+        point_channels = None
+        vfe_out = num_point_features
 
         if cfg.get('VFE'):
             name = cfg['VFE']['NAME']
@@ -73,6 +79,12 @@ class Detector3D(nn.Module):
                     grid_size=grid_size, axis_name=self.axis_name,
                     dtype=self.compute_dtype,
                     residual=(name == 'VoxelResBackBone8x'))
+            elif name == 'PointNet2MSG':
+                self.backbone_3d = PointNet2MSG(
+                    model_cfg=cfg['BACKBONE_3D'],
+                    input_channels=num_point_features,
+                    axis_name=self.axis_name, dtype=self.compute_dtype)
+                point_channels = self.backbone_3d.num_point_features
             else:
                 raise NotImplementedError(name)
             modules.append('backbone_3d')
@@ -116,6 +128,38 @@ class Detector3D(nn.Module):
                 raise NotImplementedError(name)
             modules.append('dense_head')
 
+        if cfg.get('POINT_HEAD'):
+            name = cfg['POINT_HEAD']['NAME']
+            nc = self.num_class if not cfg['POINT_HEAD'].get(
+                'CLASS_AGNOSTIC', False) else 1
+            if name == 'PointHeadBox':
+                self.point_head = PointHeadBox(
+                    model_cfg=cfg['POINT_HEAD'], num_class=nc,
+                    input_channels=point_channels,
+                    predict_boxes_when_training=bool(cfg.get('ROI_HEAD')),
+                    dtype=self.compute_dtype, axis_name=self.axis_name)
+            elif name == 'PointHeadSimple':
+                self.point_head = PointHeadSimple(
+                    model_cfg=cfg['POINT_HEAD'], num_class=nc,
+                    input_channels=point_channels,
+                    dtype=self.compute_dtype, axis_name=self.axis_name)
+            else:
+                raise NotImplementedError(name)
+            modules.append('point_head')
+
+        if cfg.get('ROI_HEAD'):
+            name = cfg['ROI_HEAD']['NAME']
+            nc = self.num_class if not cfg['ROI_HEAD'].get(
+                'CLASS_AGNOSTIC', True) else 1
+            if name == 'PointRCNNHead':
+                self.roi_head = PointRCNNHead(
+                    model_cfg=cfg['ROI_HEAD'], input_channels=point_channels,
+                    num_class=nc, dtype=self.compute_dtype,
+                    axis_name=self.axis_name)
+            else:
+                raise NotImplementedError(name)
+            modules.append('roi_head')
+
         self.module_order = tuple(modules)
 
     def _head_grid_size(self, grid_size):
@@ -124,6 +168,12 @@ class Detector3D(nn.Module):
         return grid_size
 
     def __call__(self, batch, training=False):
+        import jax.numpy as jnp
+
+        if 'points' in batch and 'point_valid' not in batch:
+            n = batch['points'].shape[1]
+            batch = {**batch, 'point_valid':
+                     jnp.arange(n)[None, :] < batch['num_points'][:, None]}
         for name in self.module_order:
             module = getattr(self, name)
             batch = module(batch, training=training)
@@ -144,5 +194,13 @@ class Detector3D(nn.Module):
                 self.model_cfg['DENSE_HEAD'])
             total = total + rpn_loss
             tb.update(tb_rpn)
+        if 'point_head_fwd' in batch_out and 'point_cls_labels' in batch_out['point_head_fwd']:
+            p_loss, tb_p = self.point_head.loss(batch_out['point_head_fwd'])
+            total = total + p_loss
+            tb.update(tb_p)
+        if 'roi_head_fwd' in batch_out and 'rcnn_cls' in batch_out['roi_head_fwd']:
+            r_loss, tb_r = self.roi_head.loss(batch_out['roi_head_fwd'])
+            total = total + r_loss
+            tb.update(tb_r)
         tb['loss'] = total
         return total, tb

@@ -47,9 +47,11 @@ def post_processing(batch, post_cfg, num_class):
     scores = cls_preds.max(axis=-1)  # (B, N)
     arg = cls_preds.argmax(axis=-1).astype(jnp.int32)
     labels = label_src.astype(jnp.int32) if label_src is not None else arg + 1
-    valid = jnp.ones(scores.shape, dtype=bool)
+    valid = batch.get('batch_valid_preds')
+    if valid is None:
+        valid = jnp.ones(scores.shape, dtype=bool)
     if score_thresh is not None:
-        valid = scores >= score_thresh
+        valid = valid & (scores >= score_thresh)
 
     post = int(nms_cfg['NMS_POST_MAXSIZE'])
     if nms_cfg['NMS_TYPE'] == 'nms_gpu':

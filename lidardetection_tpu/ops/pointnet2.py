@@ -134,6 +134,7 @@ def three_interpolate(features, idx, weight):
 
 
 def three_nn_weights(dists):
-    """Inverse-distance weights (pointnet2 FP module convention)."""
-    recip = 1.0 / jnp.clip(dists, 1e-8, None) ** 2
+    """Inverse-distance weights (PointnetFPModule, pointnet2_modules.py:143-146:
+    w = (1/(d + 1e-8)) / sum)."""
+    recip = 1.0 / (dists + 1e-8)
     return recip / jnp.sum(recip, axis=-1, keepdims=True)

@@ -56,10 +56,15 @@ def make_train_step(model, mesh=None, axis_name='data', donate=True):
     """
 
     def step(state, batch):
+        # per-step rng for stochastic layers (RoI sampling, dropout)
+        rng = jax.random.fold_in(jax.random.PRNGKey(0), state.step)
+        rngs = {'proposal': jax.random.fold_in(rng, 1),
+                'dropout': jax.random.fold_in(rng, 2)}
+
         def loss_fn(params):
             out, mutated = model.apply(
                 {'params': params, 'batch_stats': state.batch_stats},
-                batch, training=True, mutable=['batch_stats'])
+                batch, training=True, mutable=['batch_stats'], rngs=rngs)
             loss, tb = model.apply(
                 {'params': params, 'batch_stats': state.batch_stats},
                 out, method=model.loss)
@@ -95,7 +100,7 @@ def make_eval_step(model, post_cfg, num_class, mesh=None, axis_name='data'):
             preds['recall'] = compute_recall(
                 preds['pred_boxes'], preds['pred_mask'], batch['gt_boxes'],
                 tuple(post_cfg['RECALL_THRESH_LIST']),
-                rois=out.get('rois'), roi_mask=out.get('roi_mask'))
+                rois=out.get('rois'), roi_mask=out.get('roi_valid'))
         return preds
 
     if mesh is None:

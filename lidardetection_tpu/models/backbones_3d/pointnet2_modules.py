@@ -50,6 +50,9 @@ class PointnetSAModuleMSG(nn.Module):
     use_xyz: bool = True
     axis_name: str | None = None
     dtype: object = None
+    # stack-layout semantics (pointnet2_stack QueryAndGroup): groups whose
+    # ball query found no neighbor output zeros instead of a repeated fill
+    zero_empty: bool = False
 
     @nn.compact
     def __call__(self, xyz, features, xyz_num, training, new_xyz=None,
@@ -95,6 +98,8 @@ class PointnetSAModuleMSG(nn.Module):
                             dtype=self.dtype)(grouped, mask, training)
             out = out.max(axis=2)  # (B, M, C_out)
             out = out * center_valid[..., None].astype(out.dtype)
+            if self.zero_empty and self.npoint is not None:
+                out = out * (~empty)[..., None].astype(out.dtype)
             outs.append(out)
         return new_xyz, jnp.concatenate(outs, axis=-1), new_xyz_num
 

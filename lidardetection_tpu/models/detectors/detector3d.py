@@ -12,12 +12,14 @@ import flax.linen as nn
 
 from ..backbones_2d.bev_backbone import BaseBEVBackbone
 from ..backbones_2d.map_to_bev import HeightCompression, PointPillarScatter
+from ..backbones_3d.pfe import VoxelSetAbstraction
 from ..backbones_3d.pointnet2_backbone import PointNet2MSG
 from ..backbones_3d.spconv_backbone import VoxelBackBone8x
 from ..backbones_3d.vfe import MeanVFE, PillarVFE
 from ..dense_heads.anchor_head import AnchorHeadSingle, anchor_head_loss
 from ..dense_heads.point_head import PointHeadBox, PointHeadSimple
 from ..roi_heads.pointrcnn_head import PointRCNNHead
+from ..roi_heads.pvrcnn_head import PVRCNNHead
 
 
 class Detector3D(nn.Module):
@@ -103,6 +105,22 @@ class Detector3D(nn.Module):
             bev_channels = cfg['MAP_TO_BEV']['NUM_BEV_FEATURES']
             modules.append('map_to_bev')
 
+        if cfg.get('PFE'):
+            name = cfg['PFE']['NAME']
+            if name == 'VoxelSetAbstraction':
+                # runs AFTER backbone_2d (needs spatial_features); insertion
+                # order below mirrors detector3d_template module order with
+                # pfe consuming multi-scale + BEV outputs
+                self.pfe = VoxelSetAbstraction(
+                    model_cfg=cfg['PFE'], voxel_size=voxel_size,
+                    point_cloud_range=pc_range,
+                    num_bev_features=cfg['MAP_TO_BEV']['NUM_BEV_FEATURES'],
+                    num_rawpoint_features=num_point_features,
+                    dtype=self.compute_dtype, axis_name=self.axis_name)
+                point_channels = self.pfe.num_point_features
+            else:
+                raise NotImplementedError(name)
+
         if cfg.get('BACKBONE_2D'):
             self.backbone_2d = BaseBEVBackbone(
                 model_cfg=cfg['BACKBONE_2D'], input_channels=bev_channels,
@@ -127,6 +145,13 @@ class Detector3D(nn.Module):
             else:
                 raise NotImplementedError(name)
             modules.append('dense_head')
+
+        if cfg.get('PFE'):
+            # reference order runs pfe before backbone_2d but VSA's 'bev'
+            # source reads spatial_features produced by map_to_bev, which is
+            # already available; placing it after dense_head matches data
+            # dependencies identically
+            modules.append('pfe')
 
         if cfg.get('POINT_HEAD'):
             name = cfg['POINT_HEAD']['NAME']
@@ -153,6 +178,11 @@ class Detector3D(nn.Module):
                 'CLASS_AGNOSTIC', True) else 1
             if name == 'PointRCNNHead':
                 self.roi_head = PointRCNNHead(
+                    model_cfg=cfg['ROI_HEAD'], input_channels=point_channels,
+                    num_class=nc, dtype=self.compute_dtype,
+                    axis_name=self.axis_name)
+            elif name == 'PVRCNNHead':
+                self.roi_head = PVRCNNHead(
                     model_cfg=cfg['ROI_HEAD'], input_channels=point_channels,
                     num_class=nc, dtype=self.compute_dtype,
                     axis_name=self.axis_name)

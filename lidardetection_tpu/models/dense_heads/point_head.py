@@ -231,3 +231,88 @@ class PointHeadBox(nn.Module):
         total = cls_loss + box_loss
         return total, {'point_loss_cls': cls_loss, 'point_loss_box': box_loss,
                        'point_pos_num': pos}
+
+
+class PointIntraPartOffsetHead(nn.Module):
+    """Part-A2 point head: fg seg + intra-object part offsets (+ optional
+    box) (point_intra_part_head.py:7-122)."""
+
+    model_cfg: dict
+    num_class: int
+    input_channels: int
+    predict_boxes_when_training: bool = False
+    dtype: object = None
+    axis_name: str | None = None
+
+    def setup(self):
+        tc = self.model_cfg['TARGET_CONFIG']
+        self.box_coder = build_box_coder(
+            tc['BOX_CODER'], **tc.get('BOX_CODER_CONFIG', {})) \
+            if tc.get('BOX_CODER') else None
+        self.cls_layers = FCLayers(tuple(self.model_cfg['CLS_FC']),
+                                   self.num_class, dtype=self.dtype,
+                                   axis_name=self.axis_name)
+        self.part_reg_layers = FCLayers(tuple(self.model_cfg['PART_FC']), 3,
+                                        dtype=self.dtype,
+                                        axis_name=self.axis_name)
+        if self.box_coder is not None:
+            self.box_layers = FCLayers(tuple(self.model_cfg['REG_FC']),
+                                       self.box_coder.full_code_size,
+                                       dtype=self.dtype,
+                                       axis_name=self.axis_name)
+        else:
+            self.box_layers = None
+
+    def __call__(self, batch, training=False):
+        feats = batch['point_features']
+        valid = batch['point_valid']
+        cls_preds = self.cls_layers(feats, valid, training)
+        part_preds = self.part_reg_layers(feats, valid, training)
+        out = dict(batch)
+        out['point_cls_scores'] = jax.nn.sigmoid(cls_preds).max(-1)
+        out['point_part_offset'] = jax.nn.sigmoid(part_preds)
+        fwd = {'point_cls_preds': cls_preds, 'point_part_preds': part_preds}
+        box_preds = None
+        if self.box_layers is not None:
+            box_preds = self.box_layers(feats, valid, training)
+            fwd['point_box_preds'] = box_preds
+        if training:
+            fwd.update(assign_point_targets(
+                batch['point_coords'], valid, batch['gt_boxes'],
+                box_coder=self.box_coder,
+                extra_width=tuple(self.model_cfg['TARGET_CONFIG']['GT_EXTRA_WIDTH']),
+                ret_box_labels=self.box_layers is not None,
+                ret_part_labels=True, set_ignore_flag=True,
+                num_class=self.num_class))
+        if self.box_layers is not None and (
+                not training or self.predict_boxes_when_training):
+            pred_classes = cls_preds.argmax(-1) + 1
+            decoded = self.box_coder.decode(box_preds, batch['point_coords'],
+                                            pred_classes)
+            out['batch_cls_preds'] = cls_preds
+            out['batch_box_preds'] = decoded
+            out['batch_valid_preds'] = valid
+            out['cls_preds_normalized'] = False
+        out['point_head_fwd'] = fwd
+        return out
+
+    def loss(self, fwd):
+        w = self.model_cfg['LOSS_CONFIG']['LOSS_WEIGHTS']
+        cls_loss, pos = point_cls_loss(fwd['point_cls_preds'],
+                                       fwd['point_cls_labels'],
+                                       self.num_class, w['point_cls_weight'])
+        part_loss = point_part_loss(fwd['point_part_preds'],
+                                    fwd['point_part_labels'],
+                                    fwd['point_cls_labels'],
+                                    w['point_part_weight'])
+        total = cls_loss + part_loss
+        tb = {'point_loss_cls': cls_loss, 'point_loss_part': part_loss,
+              'point_pos_num': pos}
+        if 'point_box_preds' in fwd and 'point_box_labels' in fwd:
+            box_loss = point_box_loss(
+                fwd['point_box_preds'], fwd['point_box_labels'],
+                fwd['point_cls_labels'], code_weights=w.get('code_weights'),
+                weight=w.get('point_box_weight', 1.0))
+            total = total + box_loss
+            tb['point_loss_box'] = box_loss
+        return total, tb

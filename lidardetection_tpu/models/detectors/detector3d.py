@@ -15,10 +15,14 @@ from ..backbones_2d.map_to_bev import HeightCompression, PointPillarScatter
 from ..backbones_3d.pfe import VoxelSetAbstraction
 from ..backbones_3d.pointnet2_backbone import PointNet2MSG
 from ..backbones_3d.spconv_backbone import VoxelBackBone8x
+from ..backbones_3d.spconv_unet import UNetV2
 from ..backbones_3d.vfe import MeanVFE, PillarVFE
 from ..dense_heads.anchor_head import AnchorHeadSingle, anchor_head_loss
-from ..dense_heads.point_head import PointHeadBox, PointHeadSimple
+from ..dense_heads.point_head import (
+    PointHeadBox, PointHeadSimple, PointIntraPartOffsetHead,
+)
 from ..roi_heads.pointrcnn_head import PointRCNNHead
+from ..roi_heads.parta2_head import PartA2FCHead
 from ..roi_heads.pvrcnn_head import PVRCNNHead
 
 
@@ -81,6 +85,13 @@ class Detector3D(nn.Module):
                     grid_size=grid_size, axis_name=self.axis_name,
                     dtype=self.compute_dtype,
                     residual=(name == 'VoxelResBackBone8x'))
+            elif name == 'UNetV2':
+                self.backbone_3d = UNetV2(
+                    model_cfg=cfg['BACKBONE_3D'], input_channels=vfe_out,
+                    grid_size=grid_size, voxel_size=voxel_size,
+                    point_cloud_range=pc_range, axis_name=self.axis_name,
+                    dtype=self.compute_dtype)
+                point_channels = self.backbone_3d.num_point_features
             elif name == 'PointNet2MSG':
                 self.backbone_3d = PointNet2MSG(
                     model_cfg=cfg['BACKBONE_3D'],
@@ -163,6 +174,12 @@ class Detector3D(nn.Module):
                     input_channels=point_channels,
                     predict_boxes_when_training=bool(cfg.get('ROI_HEAD')),
                     dtype=self.compute_dtype, axis_name=self.axis_name)
+            elif name == 'PointIntraPartOffsetHead':
+                self.point_head = PointIntraPartOffsetHead(
+                    model_cfg=cfg['POINT_HEAD'], num_class=nc,
+                    input_channels=point_channels,
+                    predict_boxes_when_training=bool(cfg.get('ROI_HEAD')),
+                    dtype=self.compute_dtype, axis_name=self.axis_name)
             elif name == 'PointHeadSimple':
                 self.point_head = PointHeadSimple(
                     model_cfg=cfg['POINT_HEAD'], num_class=nc,
@@ -178,6 +195,11 @@ class Detector3D(nn.Module):
                 'CLASS_AGNOSTIC', True) else 1
             if name == 'PointRCNNHead':
                 self.roi_head = PointRCNNHead(
+                    model_cfg=cfg['ROI_HEAD'], input_channels=point_channels,
+                    num_class=nc, dtype=self.compute_dtype,
+                    axis_name=self.axis_name)
+            elif name == 'PartA2FCHead':
+                self.roi_head = PartA2FCHead(
                     model_cfg=cfg['ROI_HEAD'], input_channels=point_channels,
                     num_class=nc, dtype=self.compute_dtype,
                     axis_name=self.axis_name)

@@ -137,3 +137,86 @@ def _polygon_intersection_area(ca, cb):
     contrib = np.where(idx[None, None, :] < nv[..., None], cross, 0.0)
     area = 0.5 * np.abs(contrib.sum(axis=2))
     return np.where(nv >= 3, area, 0.0)
+
+
+def in_hull(p, hull):
+    """(N, K) points in convex hull of (M, K) corners (box_utils.in_hull:10)."""
+    from scipy.spatial import Delaunay
+    try:
+        if not isinstance(hull, Delaunay):
+            hull = Delaunay(hull)
+        return hull.find_simplex(p) >= 0
+    except Exception:
+        return np.zeros(p.shape[0], dtype=bool)
+
+
+def mask_points_in_fov(pts_rect, img_shape, calib):
+    """FOV crop flag (kitti_dataset.get_fov_flag:100-117)."""
+    pts_img, pts_depth = calib.rect_to_img(pts_rect)
+    flag = ((pts_img[:, 0] >= 0) & (pts_img[:, 0] < img_shape[1])
+            & (pts_img[:, 1] >= 0) & (pts_img[:, 1] < img_shape[0]))
+    return flag & (pts_depth >= 0)
+
+
+def boxes3d_kitti_camera_to_lidar(boxes3d_camera, calib):
+    """(N, 7) [x,y,z,l,h,w,r] rect -> unified lidar boxes (box_utils.py:91)."""
+    xyz_camera = boxes3d_camera[:, 0:3]
+    l, h, w, r = (boxes3d_camera[:, 3:4], boxes3d_camera[:, 4:5],
+                  boxes3d_camera[:, 5:6], boxes3d_camera[:, 6:7])
+    xyz_lidar = calib.rect_to_lidar(xyz_camera)
+    xyz_lidar[:, 2] += h[:, 0] / 2
+    return np.concatenate([xyz_lidar, l, w, h, -(r + np.pi / 2)], axis=-1)
+
+
+def boxes3d_lidar_to_kitti_camera(boxes3d_lidar, calib=None):
+    """Unified lidar boxes -> (N, 7) [x,y,z,l,h,w,r] rect.
+
+    With calib: upstream OpenPCDet semantics (bottom-center, rect frame).
+    The fork's one-arg variant (box_utils.py:152, which skips the calib
+    transform — and whose eval call site passes calib anyway, a latent fork
+    bug) is reproduced with calib=None.
+    """
+    boxes3d_lidar = boxes3d_lidar.copy()
+    xyz_lidar = boxes3d_lidar[:, 0:3]
+    l, w, h, r = (boxes3d_lidar[:, 3:4], boxes3d_lidar[:, 4:5],
+                  boxes3d_lidar[:, 5:6], boxes3d_lidar[:, 6:7])
+    xyz_lidar[:, 2] -= h[:, 0] / 2
+    xyz_cam = calib.lidar_to_rect(xyz_lidar) if calib is not None else xyz_lidar
+    r = -r - np.pi / 2
+    return np.concatenate([xyz_cam, l, h, w, r], axis=-1)
+
+
+def boxes3d_to_corners3d_kitti_camera(boxes3d, bottom_center=True):
+    """(N, 7) camera boxes -> (N, 8, 3) corners (box_utils.py:167-212)."""
+    num = boxes3d.shape[0]
+    l, h, w = boxes3d[:, 3], boxes3d[:, 4], boxes3d[:, 5]
+    x_c = np.stack([l / 2, l / 2, -l / 2, -l / 2, l / 2, l / 2, -l / 2, -l / 2], axis=1)
+    z_c = np.stack([w / 2, -w / 2, -w / 2, w / 2, w / 2, -w / 2, -w / 2, w / 2], axis=1)
+    if bottom_center:
+        y_c = np.zeros((num, 8), dtype=np.float32)
+        y_c[:, 4:8] = -h[:, None]
+    else:
+        y_c = np.stack([h / 2] * 4 + [-h / 2] * 4, axis=1)
+    ry = boxes3d[:, 6]
+    zeros, ones = np.zeros_like(ry), np.ones_like(ry)
+    rot = np.stack([
+        np.stack([np.cos(ry), zeros, -np.sin(ry)], axis=-1),
+        np.stack([zeros, ones, zeros], axis=-1),
+        np.stack([np.sin(ry), zeros, np.cos(ry)], axis=-1),
+    ], axis=1)  # (N, 3, 3)
+    corners = np.stack([x_c, y_c, z_c], axis=2) @ rot  # (N, 8, 3)
+    return (corners + boxes3d[:, None, 0:3]).astype(np.float32)
+
+
+def boxes3d_kitti_camera_to_imageboxes(boxes3d, calib, image_shape=None):
+    """Camera boxes -> clipped 2D image boxes (box_utils.py:214-238)."""
+    corners3d = boxes3d_to_corners3d_kitti_camera(boxes3d)
+    pts_img, _ = calib.rect_to_img(corners3d.reshape(-1, 3))
+    corners = pts_img.reshape(-1, 8, 2)
+    boxes2d = np.concatenate([corners.min(axis=1), corners.max(axis=1)], axis=1)
+    if image_shape is not None:
+        boxes2d[:, 0] = np.clip(boxes2d[:, 0], 0, image_shape[1] - 1)
+        boxes2d[:, 1] = np.clip(boxes2d[:, 1], 0, image_shape[0] - 1)
+        boxes2d[:, 2] = np.clip(boxes2d[:, 2], 0, image_shape[1] - 1)
+        boxes2d[:, 3] = np.clip(boxes2d[:, 3], 0, image_shape[0] - 1)
+    return boxes2d

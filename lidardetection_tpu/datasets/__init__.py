@@ -24,6 +24,8 @@ __all__ = {
 def _register_lazy():
     from .kitti.kitti_dataset import KittiDataset
     __all__['KittiDataset'] = KittiDataset
+    from .nuscenes.nuscenes_dataset import NuScenesDataset
+    __all__['NuScenesDataset'] = NuScenesDataset
 
 
 class DataLoader:
@@ -101,7 +103,7 @@ def build_dataloader(dataset_cfg, class_names, batch_size, dist=False,
                      merge_all_iters_to_one_epoch=False, total_epochs=0,
                      num_shards=1, shard_id=0, **dataset_kwargs):
     name = dataset_cfg['DATASET']
-    if name == 'KittiDataset':
+    if name not in __all__:
         _register_lazy()
     dataset_cls = __all__[name]
     dataset = dataset_cls(

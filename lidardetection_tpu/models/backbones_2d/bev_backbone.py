@@ -64,7 +64,11 @@ class BaseBEVBackbone(nn.Module):
             else:
                 ups.append(x)
 
-        x = jnp.concatenate(ups, axis=-1) if len(ups) > 1 else ups[0]
+        if len(ups) > 1:
+            x = jnp.concatenate(ups, axis=-1)
+        elif len(ups) == 1:
+            x = ups[0]
+        # len(ups) == 0: passthrough (SingleHead's empty mini-backbone)
         if len(upsample_strides) > len(layer_nums):
             us = int(upsample_strides[-1])
             x = ConvBNReLU(x.shape[-1], us, us, use_running_average=ra,

@@ -127,6 +127,11 @@ class AnchorHeadSingle(nn.Module):
     def get_anchor_constants(self):
         return self._anchor_info
 
+    def loss(self, fwd):
+        return anchor_head_loss(
+            fwd, jnp.asarray(self._anchor_info['flat_anchors']),
+            self.num_class, self.model_cfg)
+
 
 def add_sin_difference(boxes1, boxes2, dim=6):
     """sin(a-b) factorization for heading regression (anchor_head_template.py:139-145)."""

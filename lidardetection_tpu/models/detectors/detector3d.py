@@ -17,7 +17,8 @@ from ..backbones_3d.pointnet2_backbone import PointNet2MSG
 from ..backbones_3d.spconv_backbone import VoxelBackBone8x
 from ..backbones_3d.spconv_unet import UNetV2
 from ..backbones_3d.vfe import MeanVFE, PillarVFE
-from ..dense_heads.anchor_head import AnchorHeadSingle, anchor_head_loss
+from ..dense_heads.anchor_head import AnchorHeadSingle
+from ..dense_heads.anchor_head_multi import AnchorHeadMulti
 from ..dense_heads.point_head import (
     PointHeadBox, PointHeadSimple, PointIntraPartOffsetHead,
 )
@@ -141,20 +142,21 @@ class Detector3D(nn.Module):
 
         if cfg.get('DENSE_HEAD'):
             name = cfg['DENSE_HEAD']['NAME']
-            if name == 'AnchorHeadSingle':
-                self.dense_head = AnchorHeadSingle(
-                    model_cfg=cfg['DENSE_HEAD'],
-                    input_channels=bev_channels,
-                    num_class=self.num_class if not cfg['DENSE_HEAD'].get(
-                        'CLASS_AGNOSTIC', False) else 1,
-                    class_names=tuple(self.class_names),
-                    grid_size=self._head_grid_size(grid_size),
-                    point_cloud_range=pc_range,
-                    predict_boxes_when_training=bool(cfg.get('ROI_HEAD')),
-                    dtype=self.compute_dtype,
-                )
-            else:
+            head_cls = {'AnchorHeadSingle': AnchorHeadSingle,
+                        'AnchorHeadMulti': AnchorHeadMulti}.get(name)
+            if head_cls is None:
                 raise NotImplementedError(name)
+            self.dense_head = head_cls(
+                model_cfg=cfg['DENSE_HEAD'],
+                input_channels=bev_channels,
+                num_class=self.num_class if not cfg['DENSE_HEAD'].get(
+                    'CLASS_AGNOSTIC', False) else 1,
+                class_names=tuple(self.class_names),
+                grid_size=self._head_grid_size(grid_size),
+                point_cloud_range=pc_range,
+                predict_boxes_when_training=bool(cfg.get('ROI_HEAD')),
+                dtype=self.compute_dtype,
+            )
             modules.append('dense_head')
 
         if cfg.get('PFE'):
@@ -238,12 +240,7 @@ class Detector3D(nn.Module):
         tb = {}
         total = jnp.float32(0.0)
         if 'anchor_head_fwd' in batch_out:
-            info = self.dense_head.get_anchor_constants()
-            rpn_loss, tb_rpn = anchor_head_loss(
-                batch_out['anchor_head_fwd'],
-                jnp.asarray(info['flat_anchors']),
-                self.dense_head.num_class,
-                self.model_cfg['DENSE_HEAD'])
+            rpn_loss, tb_rpn = self.dense_head.loss(batch_out['anchor_head_fwd'])
             total = total + rpn_loss
             tb.update(tb_rpn)
         if 'point_head_fwd' in batch_out and 'point_cls_labels' in batch_out['point_head_fwd']:

@@ -25,14 +25,15 @@ def post_processing(batch, post_cfg, num_class):
         num_preds (B,).
     """
     nms_cfg = post_cfg['NMS_CONFIG']
+    if nms_cfg.get('MULTI_CLASSES_NMS', False):
+        # handles per-head cls lists; applies its own sigmoid
+        return _multi_class_post_processing(batch, post_cfg, num_class)
+
     score_thresh = post_cfg.get('SCORE_THRESH', None)
     box_preds = batch['batch_box_preds']
     cls_preds = batch['batch_cls_preds']
     if not batch.get('cls_preds_normalized', False):
         cls_preds = jax.nn.sigmoid(cls_preds)
-
-    assert not nms_cfg.get('MULTI_CLASSES_NMS', False), \
-        'multi-class NMS path arrives with AnchorHeadMulti'
 
     has_labels = 'batch_pred_labels' in batch or 'roi_labels' in batch
     if 'roi_labels' in batch:
@@ -104,3 +105,46 @@ def compute_recall(pred_boxes, pred_mask, gt_boxes, thresh_list, rois=None,
         for t in thresh_list:
             out[f'roi_{t}'] = ((best_roi > t) & gt_valid).sum()
     return out
+
+
+def _multi_class_post_processing(batch, post_cfg, num_class):
+    """Per-class NMS path (detector3d_template.py:222-247): used by the
+    NuScenes multi-head models. cls preds may be a per-head list with
+    `multihead_label_mapping` giving each head's global class ids."""
+    nms_cfg = post_cfg['NMS_CONFIG']
+    score_thresh = post_cfg.get('SCORE_THRESH', None)
+    box_preds = batch['batch_box_preds']
+    cls_preds = batch['batch_cls_preds']
+    if not isinstance(cls_preds, (list, tuple)):
+        cls_preds = [cls_preds]
+        label_mapping = [tuple(range(1, num_class + 1))]
+    else:
+        label_mapping = batch['multihead_label_mapping']
+
+    from ..model_utils.nms_utils import multi_classes_nms
+
+    all_scores, all_labels, all_boxes, all_mask = [], [], [], []
+    start = 0
+    for head_cls, mapping in zip(cls_preds, label_mapping):
+        n = head_cls.shape[1]
+        head_boxes = box_preds[:, start:start + n]
+        probs = jax.nn.sigmoid(head_cls) \
+            if not batch.get('cls_preds_normalized', False) else head_cls
+        out = jax.lax.map(
+            lambda t: multi_classes_nms(t[0], t[1], nms_cfg, score_thresh),
+            (probs, head_boxes))
+        scores, labels, boxes, mask = out
+        global_labels = jnp.asarray(mapping, jnp.int32)[labels]
+        all_scores.append(scores)
+        all_labels.append(jnp.where(mask, global_labels, 0))
+        all_boxes.append(boxes)
+        all_mask.append(mask)
+        start += n
+
+    return {
+        'pred_boxes': jnp.concatenate(all_boxes, axis=1),
+        'pred_scores': jnp.concatenate(all_scores, axis=1),
+        'pred_labels': jnp.concatenate(all_labels, axis=1),
+        'pred_mask': jnp.concatenate(all_mask, axis=1),
+        'num_preds': jnp.concatenate(all_mask, axis=1).sum(axis=1).astype(jnp.int32),
+    }

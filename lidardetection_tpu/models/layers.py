@@ -95,7 +95,7 @@ class ConvBNReLU(nn.Module):
     dtype: object = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, use_running_average=None):
         if self.dtype is not None:
             x = x.astype(self.dtype)
         if self.transpose:
@@ -110,6 +110,7 @@ class ConvBNReLU(nn.Module):
             x = nn.Conv(self.features, (self.kernel_size, self.kernel_size),
                         strides=(self.stride, self.stride), padding=pad,
                         use_bias=False, dtype=self.dtype)(x)
-        x = MaskedBatchNorm(use_running_average=self.use_running_average,
+        x = MaskedBatchNorm(use_running_average=self.use_running_average
+                            if use_running_average is None else use_running_average,
                             axis_name=self.axis_name)(x)
         return nn.relu(x)

@@ -78,10 +78,12 @@ class PartA2FCHead(nn.Module):
         pool_cfg = cfg['ROI_AWARE_POOL']
         ps = int(pool_cfg['POOL_SIZE'])
 
-        # --- part features: (part offsets, seg score), thresholded (:118-126)
+        # --- part features: (part offsets, seg score), thresholded (:118-126);
+        # DISABLE_PART (PartA2-free) uses raw point coords instead (:121)
         coords = batch['point_coords']  # (B, N, 3)
         scores = jax.lax.stop_gradient(out['point_cls_scores'])  # (B, N)
-        part = out['point_part_offset']  # (B, N, 3)
+        part = coords if cfg.get('DISABLE_PART', False) \
+            else out['point_part_offset']  # (B, N, 3)
         keep = scores >= cfg['SEG_MASK_SCORE_THRESH']
         part = part * keep[..., None]
         part_features = jnp.concatenate([part, scores[..., None]], axis=-1)

@@ -96,12 +96,19 @@ class AnchorHeadSingle(nn.Module):
         info = self._anchor_info
         anchors = jnp.asarray(info['flat_anchors'])
         if training:
-            fwd.update(target_assigner.assign_targets(
-                anchors, jnp.asarray(info['anchor_class']),
-                jnp.asarray(info['matched_t']), jnp.asarray(info['unmatched_t']),
-                batch['gt_boxes'], box_coder=self.box_coder,
-                match_height=self.model_cfg['TARGET_ASSIGNER_CONFIG'].get(
-                    'MATCH_HEIGHT', False)))
+            ta_cfg = self.model_cfg['TARGET_ASSIGNER_CONFIG']
+            if ta_cfg['NAME'] == 'ATSS':
+                fwd.update(target_assigner.atss_assign_targets(
+                    anchors, batch['gt_boxes'], box_coder=self.box_coder,
+                    topk=int(ta_cfg.get('TOPK', 9)),
+                    match_height=ta_cfg.get('MATCH_HEIGHT', False)))
+            else:
+                fwd.update(target_assigner.assign_targets(
+                    anchors, jnp.asarray(info['anchor_class']),
+                    jnp.asarray(info['matched_t']),
+                    jnp.asarray(info['unmatched_t']),
+                    batch['gt_boxes'], box_coder=self.box_coder,
+                    match_height=ta_cfg.get('MATCH_HEIGHT', False)))
 
         if not training or self.predict_boxes_when_training:
             code = self.box_coder.full_code_size

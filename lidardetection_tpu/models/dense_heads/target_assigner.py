@@ -92,3 +92,82 @@ def assign_targets(flat_anchors, anchor_class, matched_t, unmatched_t,
         'box_reg_targets': reg_targets,
         'reg_weights': reg_weights,
     }
+
+
+def _atss_assign_single(anchors, gt_boxes, gt_classes, box_coder, topk,
+                        match_height):
+    """ATSS assignment for one sample (atss_target_assigner.py:75-141,
+    https://arxiv.org/abs/1912.02424), fully vectorized with masked padded gt.
+    """
+    from ...core.geometry import rotate_points_along_z
+
+    a = anchors.shape[0]
+    g = gt_boxes.shape[0]
+    gt_valid = gt_classes > 0
+    if match_height:
+        ious = boxes_iou3d(anchors[:, :7], gt_boxes[:, :7])
+    else:
+        from ...core.iou3d import boxes_iou_bev
+        ious = boxes_iou_bev(anchors[:, :7], gt_boxes[:, :7])
+    ious = jnp.where(gt_valid[None, :], ious, 0.0)  # (A, G)
+
+    dist = jnp.linalg.norm(anchors[:, None, 0:3] - gt_boxes[None, :, 0:3],
+                           axis=-1)  # (A, G)
+    k = min(topk, a)
+    _, topk_idxs = jax.lax.top_k(-dist.T, k)  # (G, K) nearest anchors per gt
+    cand_ious = jnp.take_along_axis(ious.T, topk_idxs, axis=1)  # (G, K)
+    iou_mean = cand_ious.mean(axis=1)
+    iou_std = cand_ious.std(axis=1, ddof=1)  # torch.std is unbiased
+    iou_thresh = iou_mean + iou_std + 1e-6
+    is_pos = cand_ious >= iou_thresh[:, None]  # (G, K)
+
+    # anchor center inside gt BEV footprint; the reference compares
+    # (x_local, y_local) against (dy, dx)/2 — the swapped order with its
+    # "bugfixed" comment (atss_target_assigner.py:108-111) — reproduced as-is
+    cand_anchors = anchors[topk_idxs]  # (G, K, 7+)
+    local = cand_anchors[..., 0:3] - gt_boxes[:, None, 0:3]
+    local = rotate_points_along_z(local, -gt_boxes[:, 6])
+    lw = gt_boxes[:, None, [4, 3]] / 2  # (G, 1, 2): (dy, dx)/2
+    in_gt = jnp.all((local[..., 0:2] <= lw) & (local[..., 0:2] >= -lw), axis=-1)
+    is_pos = is_pos & in_gt & gt_valid[:, None]
+
+    # scatter (gt, k) selections into a dense (A, G) validity mask
+    sel = jnp.zeros((a, g), bool)
+    sel = sel.at[topk_idxs, jnp.arange(g)[:, None]].max(is_pos)
+
+    neg_inf = jnp.float32(-3.4e38)
+    ious_inf = jnp.where(sel, ious, neg_inf)
+    a2g_val = ious_inf.max(axis=1)
+    a2g_idx = ious_inf.argmax(axis=1).astype(jnp.int32)
+
+    # force-match: each valid gt claims its best-IoU anchor
+    g2a_idx = ious.argmax(axis=0)  # (G,)
+    force_val = ious.max(axis=0)
+    a2g_idx = a2g_idx.at[g2a_idx].set(
+        jnp.where(gt_valid, jnp.arange(g, dtype=jnp.int32), a2g_idx[g2a_idx]))
+    a2g_val = a2g_val.at[g2a_idx].set(
+        jnp.where(gt_valid, force_val, a2g_val[g2a_idx]))
+
+    labels = jnp.where(a2g_val > neg_inf, gt_classes[a2g_idx], 0).astype(jnp.int32)
+    matched = gt_boxes[a2g_idx]
+    pos = labels > 0
+    reg = box_coder.encode(matched, anchors)
+    reg_targets = jnp.where(pos[:, None], reg, 0.0)
+    return labels, reg_targets, pos.astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=('box_coder', 'topk', 'match_height'))
+def atss_assign_targets(flat_anchors, gt_boxes, box_coder, topk=9,
+                        match_height=False):
+    """Batched ATSS assignment; same output contract as `assign_targets`."""
+    gt = gt_boxes[..., :-1]
+    gt_cls = gt_boxes[..., -1].astype(jnp.int32)
+    labels, reg_targets, reg_weights = jax.vmap(
+        lambda gb, c: _atss_assign_single(flat_anchors, gb, c, box_coder,
+                                          topk, match_height)
+    )(gt, gt_cls)
+    return {
+        'box_cls_labels': labels,
+        'box_reg_targets': reg_targets,
+        'reg_weights': reg_weights,
+    }

@@ -121,6 +121,13 @@ class DatasetTemplate:
             n = min(len(gt), self.max_gt_boxes)
             out[:n] = gt[:n]
             data_dict['gt_boxes'] = out
+            for key in ('locations', 'rotations_y'):
+                if data_dict.get(key, None) is not None:
+                    arr = data_dict[key]
+                    padded = np.zeros((self.max_gt_boxes, *arr.shape[1:]),
+                                      np.float32)
+                    padded[:n] = arr[:n]
+                    data_dict[key] = padded
         return data_dict
 
     @staticmethod

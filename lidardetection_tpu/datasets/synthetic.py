@@ -69,6 +69,9 @@ class SyntheticDataset(DatasetTemplate):
                          logger=logger)
         self.num_scenes = num_scenes
         self.seed = seed
+        # multiframe mode: emit per-box frame poses (locations/rotations_y)
+        # like the fork's multiframe datasets
+        self.stack_frame_size = int(dataset_cfg.get('STACK_FRAME_SIZE', 0))
 
     def __len__(self):
         return self.num_scenes
@@ -83,6 +86,16 @@ class SyntheticDataset(DatasetTemplate):
             'gt_names': gt_names,
             'frame_id': index,
         }
+        if self.stack_frame_size > 0:
+            t = self.stack_frame_size
+            n = len(gt_boxes)
+            vel = rng.randn(n, 2) * 1.0  # m/frame
+            locations = np.repeat(gt_boxes[:, None, 0:3], t, axis=1)
+            for i in range(t):
+                locations[:, i, 0:2] -= vel * (t - 1 - i)
+            rotations_y = np.repeat(gt_boxes[:, None, 6], t, axis=1)
+            data_dict['locations'] = locations.astype(np.float32)
+            data_dict['rotations_y'] = rotations_y.astype(np.float32)
         return self.prepare_data(data_dict)
 
     def generate_prediction_dicts(self, batch_dict, pred_dicts, class_names,

@@ -97,6 +97,12 @@ class AnchorHeadSingle(nn.Module):
         anchors = jnp.asarray(info['flat_anchors'])
         if training:
             ta_cfg = self.model_cfg['TARGET_ASSIGNER_CONFIG']
+            gt_enlarged = None
+            if self.model_cfg.get('USE_MULTIFRAME_ENLARGED_GT_BOXES', False):
+                gt_enlarged = compute_multiframe_enlarged_gt(
+                    batch['gt_boxes'], batch['locations'],
+                    batch['rotations_y'])
+                out['gt_boxes_enlarged'] = gt_enlarged
             if ta_cfg['NAME'] == 'ATSS':
                 fwd.update(target_assigner.atss_assign_targets(
                     anchors, batch['gt_boxes'], box_coder=self.box_coder,
@@ -108,7 +114,8 @@ class AnchorHeadSingle(nn.Module):
                     jnp.asarray(info['matched_t']),
                     jnp.asarray(info['unmatched_t']),
                     batch['gt_boxes'], box_coder=self.box_coder,
-                    match_height=ta_cfg.get('MATCH_HEIGHT', False)))
+                    match_height=ta_cfg.get('MATCH_HEIGHT', False),
+                    gt_boxes_enlarged=gt_enlarged))
 
         if not training or self.predict_boxes_when_training:
             code = self.box_coder.full_code_size
@@ -138,6 +145,35 @@ class AnchorHeadSingle(nn.Module):
         return anchor_head_loss(
             fwd, jnp.asarray(self._anchor_info['flat_anchors']),
             self.num_class, self.model_cfg)
+
+
+def compute_multiframe_enlarged_gt(gt_boxes, locations, rotations_y):
+    """BEV extent of a box swept over its per-frame poses
+    (anchor_head_single.py:63-97): corners at every frame pose, rotated into
+    the current box frame; dx/dy become the swept min/max extents.
+
+    Args:
+        gt_boxes (B, G, 8+); locations (B, G, T, 3); rotations_y (B, G, T).
+    Returns (B, G, 8+) with enlarged dx, dy.
+    """
+    from ...core.geometry import boxes_to_corners_3d, rotate_points_along_z
+
+    b, g, t, _ = locations.shape
+    d = gt_boxes.shape[-1]
+    flat_gt = gt_boxes.reshape(b * g, d)
+    corners = []
+    for i in range(t):
+        cur = flat_gt[:, :7]
+        cur = cur.at[:, 0:3].set(locations.reshape(b * g, t, 3)[:, i])
+        cur = cur.at[:, 6].set(rotations_y.reshape(b * g, t)[:, i])
+        corners.append(boxes_to_corners_3d(cur))
+    corners = jnp.concatenate(corners, axis=1)  # (BG, 8T, 3)
+    corners = corners - flat_gt[:, None, 0:3]
+    local = rotate_points_along_z(corners, -flat_gt[:, 6])
+    multi_len = local[:, :, 0].max(axis=1) - local[:, :, 0].min(axis=1)
+    multi_wid = local[:, :, 1].max(axis=1) - local[:, :, 1].min(axis=1)
+    enlarged = flat_gt.at[:, 3].set(multi_len).at[:, 4].set(multi_wid)
+    return enlarged.reshape(b, g, d)
 
 
 def add_sin_difference(boxes1, boxes2, dim=6):

@@ -316,3 +316,68 @@ class PointIntraPartOffsetHead(nn.Module):
             total = total + box_loss
             tb['point_loss_box'] = box_loss
         return total, tb
+
+
+class PointHeadSimpleMultiFrame(nn.Module):
+    """Multiframe keypoint seg head (point_head_simple_multiframe.py:7-133):
+    one fg score per stacked frame, each supervised by the gt boxes moved to
+    that frame's pose (locations/rotations_y side arrays)."""
+
+    model_cfg: dict
+    num_class: int
+    input_channels: int
+    stack_frame_size: int
+    dtype: object = None
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, batch, training=False):
+        feats = batch['point_features_before_fusion'] \
+            if self.model_cfg.get('USE_POINT_FEATURES_BEFORE_FUSION', False) \
+            else batch['point_features']
+        valid = batch['point_valid']
+        t = self.stack_frame_size
+        preds = FCLayers(tuple(self.model_cfg['CLS_FC']),
+                         self.num_class * t, dtype=self.dtype,
+                         axis_name=self.axis_name)(feats, valid, training)
+        out = dict(batch)
+        out['point_cls_scores'] = jax.nn.sigmoid(preds).max(-1)
+        fwd = {'point_cls_preds': preds}
+        if training:
+            labels = []
+            gt = batch['gt_boxes']
+            for i in range(t):
+                gt_i = gt.at[..., 0:3].set(batch['locations'][:, :, i, :])
+                gt_i = gt_i.at[..., 6].set(batch['rotations_y'][:, :, i])
+                tgt = assign_point_targets(
+                    batch['point_coords'], valid, gt_i,
+                    extra_width=tuple(
+                        self.model_cfg['TARGET_CONFIG']['GT_EXTRA_WIDTH']),
+                    set_ignore_flag=True, num_class=self.num_class)
+                labels.append(tgt['point_cls_labels'])
+            fwd['point_cls_labels_list'] = tuple(labels)
+        out['point_head_fwd'] = fwd
+        return out
+
+    def loss(self, fwd):
+        """Per-frame focal seg loss with a shared normalizer
+        (point_head_simple_multiframe.py:60-92)."""
+        w = self.model_cfg['LOSS_CONFIG']['LOSS_WEIGHTS']
+        labels_list = fwd['point_cls_labels_list']
+        preds = fwd['point_cls_preds'].reshape(
+            -1, self.num_class * self.stack_frame_size)
+        stacked = jnp.stack([l.reshape(-1) for l in labels_list], axis=-1)
+        positives = stacked > 0
+        cls_weights = ((stacked == 0) + positives).astype(jnp.float32)
+        pos_norm = jnp.clip(positives.sum().astype(jnp.float32), 1.0, None)
+        cls_weights = (cls_weights / pos_norm).sum(axis=-1)
+        one_hots = [
+            jax.nn.one_hot(jnp.clip(l.reshape(-1), 0, None),
+                           self.num_class + 1, dtype=preds.dtype)[..., 1:]
+            for l in labels_list
+        ]
+        one_hot = jnp.concatenate(one_hots, axis=-1)
+        loss = losses.sigmoid_focal_loss(
+            preds[None], one_hot[None], cls_weights[None]).sum()
+        loss = loss * w['point_cls_weight']
+        return loss, {'point_loss_cls': loss, 'point_pos_num': pos_norm}

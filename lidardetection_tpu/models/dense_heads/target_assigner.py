@@ -30,7 +30,7 @@ from ...core.iou3d import boxes3d_nearest_bev_iou, boxes_iou3d
 
 
 def _assign_single(anchors, anchor_class, matched_t, unmatched_t, gt_boxes,
-                   gt_classes, box_coder, match_height):
+                   gt_classes, box_coder, match_height, gt_boxes_enlarged=None):
     """Assign targets for one sample over the full flat anchor set.
 
     Args:
@@ -61,7 +61,10 @@ def _assign_single(anchors, anchor_class, matched_t, unmatched_t, gt_boxes,
     bg = a2g_max < unmatched_t
     labels = jnp.where(fg, gt_classes[a2g_arg], jnp.where(bg, 0, -1)).astype(jnp.int32)
 
-    matched_gt = gt_boxes[a2g_arg]  # (A, D)
+    # regression encodes the (optionally multiframe-enlarged) gt while the
+    # matching above used the original boxes (assign_targets_single:196-202)
+    reg_src = gt_boxes if gt_boxes_enlarged is None else gt_boxes_enlarged
+    matched_gt = reg_src[a2g_arg]  # (A, D)
     reg = box_coder.encode(matched_gt, anchors)
     reg_targets = jnp.where(fg[:, None], reg, 0.0)
     reg_weights = fg.astype(jnp.float32)
@@ -70,7 +73,8 @@ def _assign_single(anchors, anchor_class, matched_t, unmatched_t, gt_boxes,
 
 @functools.partial(jax.jit, static_argnames=('box_coder', 'match_height'))
 def assign_targets(flat_anchors, anchor_class, matched_t, unmatched_t,
-                   gt_boxes, box_coder, match_height=False):
+                   gt_boxes, box_coder, match_height=False,
+                   gt_boxes_enlarged=None):
     """Batched target assignment.
 
     Args:
@@ -82,11 +86,18 @@ def assign_targets(flat_anchors, anchor_class, matched_t, unmatched_t,
     """
     gt = gt_boxes[..., :-1]
     gt_cls = gt_boxes[..., -1].astype(jnp.int32)
-    labels, reg_targets, reg_weights = jax.vmap(
-        lambda g, c: _assign_single(
-            flat_anchors, anchor_class, matched_t, unmatched_t, g, c,
-            box_coder, match_height)
-    )(gt, gt_cls)
+    if gt_boxes_enlarged is None:
+        labels, reg_targets, reg_weights = jax.vmap(
+            lambda g, c: _assign_single(
+                flat_anchors, anchor_class, matched_t, unmatched_t, g, c,
+                box_coder, match_height)
+        )(gt, gt_cls)
+    else:
+        labels, reg_targets, reg_weights = jax.vmap(
+            lambda g, c, ge: _assign_single(
+                flat_anchors, anchor_class, matched_t, unmatched_t, g, c,
+                box_coder, match_height, gt_boxes_enlarged=ge)
+        )(gt, gt_cls, gt_boxes_enlarged[..., :gt.shape[-1]])
     return {
         'box_cls_labels': labels,
         'box_reg_targets': reg_targets,

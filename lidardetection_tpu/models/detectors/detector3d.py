@@ -20,7 +20,8 @@ from ..backbones_3d.vfe import MeanVFE, PillarVFE
 from ..dense_heads.anchor_head import AnchorHeadSingle
 from ..dense_heads.anchor_head_multi import AnchorHeadMulti
 from ..dense_heads.point_head import (
-    PointHeadBox, PointHeadSimple, PointIntraPartOffsetHead,
+    PointHeadBox, PointHeadSimple, PointHeadSimpleMultiFrame,
+    PointIntraPartOffsetHead,
 )
 from ..roi_heads.pointrcnn_head import PointRCNNHead
 from ..roi_heads.parta2_head import PartA2FCHead
@@ -187,6 +188,12 @@ class Detector3D(nn.Module):
                     model_cfg=cfg['POINT_HEAD'], num_class=nc,
                     input_channels=point_channels,
                     dtype=self.compute_dtype, axis_name=self.axis_name)
+            elif name == 'PointHeadSimpleMultiFrame':
+                self.point_head = PointHeadSimpleMultiFrame(
+                    model_cfg=cfg['POINT_HEAD'], num_class=nc,
+                    input_channels=point_channels,
+                    stack_frame_size=int(cfg['STACK_FRAME_SIZE']),
+                    dtype=self.compute_dtype, axis_name=self.axis_name)
             else:
                 raise NotImplementedError(name)
             modules.append('point_head')
@@ -243,7 +250,9 @@ class Detector3D(nn.Module):
             rpn_loss, tb_rpn = self.dense_head.loss(batch_out['anchor_head_fwd'])
             total = total + rpn_loss
             tb.update(tb_rpn)
-        if 'point_head_fwd' in batch_out and 'point_cls_labels' in batch_out['point_head_fwd']:
+        if 'point_head_fwd' in batch_out and (
+                'point_cls_labels' in batch_out['point_head_fwd']
+                or 'point_cls_labels_list' in batch_out['point_head_fwd']):
             p_loss, tb_p = self.point_head.loss(batch_out['point_head_fwd'])
             total = total + p_loss
             tb.update(tb_p)

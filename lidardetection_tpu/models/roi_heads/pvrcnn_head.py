@@ -111,8 +111,10 @@ class PVRCNNHead(nn.Module):
         rcnn_cls = FCHead(tuple(cfg['CLS_FC']), self.num_class,
                           dtype=self.dtype, axis_name=self.axis_name)(
             shared, training)
+        reg_tracking = bool(cfg['TARGET_CONFIG'].get('REG_TRACKING_INFO', False))
         rcnn_reg = FCHead(tuple(cfg['REG_FC']),
-                          self.box_coder.code_size * self.num_class,
+                          self.box_coder.code_size * self.num_class
+                          + (8 if reg_tracking else 0),
                           dtype=self.dtype, axis_name=self.axis_name,
                           final_init_std=0.001)(shared, training)
 
@@ -126,6 +128,7 @@ class PVRCNNHead(nn.Module):
         else:
             fwd['rcnn_cls'] = rcnn_cls
             fwd['rcnn_reg'] = rcnn_reg
+            fwd['reg_tracking_info'] = reg_tracking
         out['roi_head_fwd'] = fwd
         return out
 

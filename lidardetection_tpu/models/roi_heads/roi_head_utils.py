@@ -136,42 +136,65 @@ def get_max_iou_with_same_class(rois, roi_labels, gt_boxes, gt_labels, gt_valid)
 
 
 def sample_rois_for_rcnn(rng, rois, roi_scores, roi_labels, roi_valid,
-                         gt_boxes, sampler_cfg):
+                         gt_boxes, sampler_cfg, gt_boxes_enlarged=None,
+                         gt_tracking=None):
     """(proposal_target_layer.py:64-129), batched via vmap.
 
+    gt_boxes_enlarged (if given) drives the IoU matching while gt_of_rois
+    come from the original boxes; gt_tracking (B, G, 8) is appended to
+    gt_of_rois (REG_TRACKING_INFO, :118-124).
     Returns dict of (B, ROI_PER_IMAGE, ...) tensors.
     """
 
-    def one(key, roi, scores, labels, valid, gts):
+    def one(key, roi, scores, labels, valid, gts, gts_match, track):
         gt_labels = gts[:, -1].astype(jnp.int32)
         gt_valid = gt_labels > 0
         if sampler_cfg.get('SAMPLE_ROI_BY_EACH_CLASS', False):
             max_ov, gt_assign = get_max_iou_with_same_class(
-                roi, labels, gts, gt_labels, gt_valid)
+                roi, labels, gts_match, gt_labels, gt_valid)
         else:
-            iou = boxes_iou3d(roi[:, 0:7], gts[:, 0:7])
+            iou = boxes_iou3d(roi[:, 0:7], gts_match[:, 0:7])
             iou = jnp.where(gt_valid[None, :], iou, 0.0)
             max_ov, gt_assign = iou.max(axis=1), iou.argmax(axis=1).astype(jnp.int32)
 
         sampled = subsample_rois(key, max_ov, valid, sampler_cfg)
+        gt_full = gts if track is None else jnp.concatenate([gts, track], axis=-1)
         return {
             'rois': roi[sampled],
-            'gt_of_rois': gts[gt_assign[sampled]],
+            'gt_of_rois': gt_full[gt_assign[sampled]],
             'gt_iou_of_rois': max_ov[sampled],
             'roi_scores': scores[sampled],
             'roi_labels': labels[sampled],
         }
 
     keys = jax.random.split(rng, rois.shape[0])
-    return jax.vmap(one)(keys, rois, roi_scores, roi_labels, roi_valid, gt_boxes)
+    match = gt_boxes if gt_boxes_enlarged is None else gt_boxes_enlarged
+    if gt_tracking is None:
+        return jax.vmap(lambda k, r, s, l, v, g, m: one(k, r, s, l, v, g, m, None)
+                        )(keys, rois, roi_scores, roi_labels, roi_valid,
+                          gt_boxes, match)
+    return jax.vmap(one)(keys, rois, roi_scores, roi_labels, roi_valid,
+                         gt_boxes, match, gt_tracking)
 
 
 def assign_roi_targets(rng, batch, sampler_cfg):
     """ProposalTargetLayer.forward + canonical transform
     (proposal_target_layer.py:13-62, roi_head_template.py:101-137)."""
+    gt_tracking = None
+    if sampler_cfg.get('REG_TRACKING_INFO', False):
+        # per-gt tracking targets: frame-to-frame displacement + first two
+        # frame headings (proposal_target_layer.py:118-124)
+        loc = batch['locations']  # (B, G, T, 3)
+        roty = batch['rotations_y']  # (B, G, T)
+        gt_tracking = jnp.concatenate(
+            [loc[:, :, 1, :] - loc[:, :, 0, :],
+             loc[:, :, 2, :] - loc[:, :, 1, :],
+             roty[:, :, 0:2]], axis=-1)  # (B, G, 8)
     t = sample_rois_for_rcnn(rng, batch['rois'], batch['roi_scores'],
                              batch['roi_labels'], batch['roi_valid'],
-                             batch['gt_boxes'], sampler_cfg)
+                             batch['gt_boxes'], sampler_cfg,
+                             gt_boxes_enlarged=batch.get('gt_boxes_enlarged'),
+                             gt_tracking=gt_tracking)
     ious = t['gt_iou_of_rois']
     t['reg_valid_mask'] = (ious > sampler_cfg['REG_FG_THRESH']).astype(jnp.int32)
     if sampler_cfg['CLS_SCORE_TYPE'] == 'cls':
@@ -221,6 +244,11 @@ def roi_box_loss(fwd, box_coder, loss_cfg):
     rois_anchor = rois[:, 0:code_size]
     rois_anchor = rois_anchor.at[:, 0:3].set(0).at[:, 6].set(0)
     reg_targets = box_coder.encode(gt_ct, rois_anchor)
+    if fwd.get('reg_tracking_info', False):
+        # gt_of_rois layout: box (code) + class (1) + tracking (8)
+        track = fwd['gt_of_rois'][..., code_size + 1:]
+        reg_targets = jnp.concatenate(
+            [reg_targets, track.reshape(reg_targets.shape[0], -1)], axis=-1)
     loss_reg = losses.weighted_smooth_l1_loss(
         rcnn_reg[None, :, 0:reg_targets.shape[-1]], reg_targets[None],
         code_weights=w['code_weights'])

@@ -39,7 +39,7 @@ class TrainState(struct.PyTreeNode):
 
 
 DEVICE_KEYS = ('voxels', 'voxel_coords', 'voxel_num_points', 'num_voxels',
-               'points', 'num_points', 'gt_boxes')
+               'points', 'num_points', 'gt_boxes', 'locations', 'rotations_y')
 
 
 def device_batch(batch):

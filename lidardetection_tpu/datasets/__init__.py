@@ -26,6 +26,14 @@ def _register_lazy():
     __all__['KittiDataset'] = KittiDataset
     from .nuscenes.nuscenes_dataset import NuScenesDataset
     __all__['NuScenesDataset'] = NuScenesDataset
+    from .plusai.plusai_dataset import PlusAIDataset, PlusAIMultiframeDataset
+    __all__['PlusAIDataset'] = PlusAIDataset
+    __all__['PlusAIMultiframeDataset'] = PlusAIMultiframeDataset
+    from .livox.livox_dataset import LivoxDataset, LivoxMultiFrameDataset
+    __all__['LivoxDataset'] = LivoxDataset
+    __all__['LivoxMultiFrameDataset'] = LivoxMultiFrameDataset
+    from .mix_data.mix_dataset import MixDataset
+    __all__['MixDataset'] = MixDataset
 
 
 class DataLoader:

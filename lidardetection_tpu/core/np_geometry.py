@@ -78,6 +78,12 @@ def boxes_bev_iou_cpu(boxes_a, boxes_b):
     n, m = boxes_a.shape[0], boxes_b.shape[0]
     if n == 0 or m == 0:
         return np.zeros((n, m), dtype=np.float32)
+    from ..native import rotated_iou_bev_native
+    bev_a = np.asarray(boxes_a, np.float32)[:, [0, 1, 3, 4, 6]]
+    bev_b = np.asarray(boxes_b, np.float32)[:, [0, 1, 3, 4, 6]]
+    native = rotated_iou_bev_native(bev_a, bev_b)
+    if native is not None:
+        return native
     ca = corners_bev(boxes_a)  # (N, 4, 2)
     cb = corners_bev(boxes_b)  # (M, 4, 2)
     inter = _polygon_intersection_area(ca, cb)

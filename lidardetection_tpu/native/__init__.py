@@ -1,0 +1,105 @@
+"""ctypes bindings for the native host kernels (voxelizer.cpp).
+
+Mirrors the role of the reference's compiled host ops (spconv voxel
+generator; pcdet/ops/iou3d_nms CPU paths). The library is compiled on first
+use with g++ into ``_build/libnative.so`` inside this package; if no
+compiler is available the callers fall back to their numpy twins, so the
+framework stays importable everywhere.
+
+Set ``LIDARDET_TPU_DISABLE_NATIVE=1`` to force the numpy paths.
+"""
+
+import ctypes
+import os
+import subprocess
+import threading
+from pathlib import Path
+
+import numpy as np
+
+_HERE = Path(__file__).resolve().parent
+_SRC = _HERE / 'voxelizer.cpp'
+_SO = _HERE / '_build' / 'libnative.so'
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build():
+    _SO.parent.mkdir(exist_ok=True)
+    cmd = ['g++', '-O3', '-shared', '-fPIC', '-std=c++17',
+           str(_SRC), '-o', str(_SO)]
+    subprocess.run(cmd, check=True, capture_output=True, text=True)
+
+
+def load():
+    """Load (building if needed) the native library; None if unavailable."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if os.environ.get('LIDARDET_TPU_DISABLE_NATIVE'):
+            return None
+        try:
+            if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
+                _build()
+            lib = ctypes.CDLL(str(_SO))
+        except (OSError, subprocess.CalledProcessError):
+            return None
+        f32p = ctypes.POINTER(ctypes.c_float)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        lib.voxelize_f32.restype = ctypes.c_int32
+        lib.voxelize_f32.argtypes = [
+            f32p, ctypes.c_int64, ctypes.c_int32, f32p, f32p,
+            ctypes.c_int32, ctypes.c_int32, f32p, i32p, i32p]
+        lib.rotated_iou_bev.restype = None
+        lib.rotated_iou_bev.argtypes = [
+            f32p, ctypes.c_int64, f32p, ctypes.c_int64, ctypes.c_int32, f32p]
+        _lib = lib
+        return _lib
+
+
+def _f32p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def _i32p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def voxelize_native(points, point_cloud_range, voxel_size,
+                    max_points_per_voxel, max_voxels):
+    """Native twin of ops.voxelize.voxelize_np; returns None if lib missing."""
+    lib = load()
+    if lib is None:
+        return None
+    points = np.ascontiguousarray(points, dtype=np.float32)
+    pc_range = np.ascontiguousarray(point_cloud_range, dtype=np.float32)
+    vsz = np.ascontiguousarray(voxel_size, dtype=np.float32)
+    n, c = points.shape
+    voxels = np.empty((max_voxels, max_points_per_voxel, c), np.float32)
+    coords = np.empty((max_voxels, 3), np.int32)
+    num_points = np.empty((max_voxels,), np.int32)
+    n_vox = lib.voxelize_f32(
+        _f32p(points), n, c, _f32p(pc_range), _f32p(vsz),
+        max_points_per_voxel, max_voxels,
+        _f32p(voxels), _i32p(coords), _i32p(num_points))
+    return voxels, coords, num_points, int(n_vox)
+
+
+def rotated_iou_bev_native(boxes_a, boxes_b, criterion=-1):
+    """Native twin of np_geometry.boxes_bev_iou_cpu ((cx,cy,dx,dy,rz) boxes);
+    returns None if lib missing."""
+    lib = load()
+    if lib is None:
+        return None
+    boxes_a = np.ascontiguousarray(boxes_a, dtype=np.float32)
+    boxes_b = np.ascontiguousarray(boxes_b, dtype=np.float32)
+    out = np.empty((boxes_a.shape[0], boxes_b.shape[0]), np.float32)
+    lib.rotated_iou_bev(_f32p(boxes_a), boxes_a.shape[0],
+                        _f32p(boxes_b), boxes_b.shape[0],
+                        int(criterion), _f32p(out))
+    return out

@@ -48,6 +48,11 @@ def voxelize_np(points, point_cloud_range, voxel_size, max_points_per_voxel, max
         num_voxels: int
     """
     points = np.asarray(points, dtype=np.float32)
+    from ..native import voxelize_native
+    native = voxelize_native(points, point_cloud_range, voxel_size,
+                             max_points_per_voxel, max_voxels)
+    if native is not None:
+        return native
     pc_range = np.asarray(point_cloud_range, dtype=np.float32)
     vsz = np.asarray(voxel_size, dtype=np.float32)
     grid = grid_size_from_range(point_cloud_range, voxel_size)  # (nx, ny, nz)

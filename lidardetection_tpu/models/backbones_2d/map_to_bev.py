@@ -1,18 +1,17 @@
 """Sparse -> dense BEV projection.
 
 PointPillarScatter (pointpillar_scatter.py:14-39): the reference loops over
-the batch on host and scatters with fancy indexing; here it is a vmapped
-inverse-map gather into an NHWC canvas (TPU conv layout). Scattering the
-C-wide feature rows directly costs ~57ms/batch on v5e (XLA serialises row
-scatters); instead we scatter only int32 *row indices* into an inverse map
-(canvas slot -> pillar row) and gather feature rows through it, which is
-~3x faster (19ms/batch measured standalone). Padding pillars route to a
-spill slot whose gather row is zero.
+the batch on host and scatters with fancy indexing; here the voxel tables
+are key-sorted (ops/voxelize.py contract), so the scatter becomes the tiled
+one-hot-matmul Pallas kernel in ops/scatter_tpu.py on TPU (inverse-map
+gather fallback elsewhere). Padding pillars route to a spill slot whose
+output is dropped.
 """
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
+
+from ...ops.scatter_tpu import scatter_rows_sorted
 
 
 class PointPillarScatter(nn.Module):
@@ -26,20 +25,13 @@ class PointPillarScatter(nn.Module):
         feats = batch['pillar_features']  # (B, V, C)
         coords = batch['voxel_coords']  # (B, V, 3) zyx, -1 padded
 
-        num_v = feats.shape[1]
-
-        def scatter_one(f, c):
-            valid = c[:, 0] >= 0
-            idx = jnp.where(valid, c[:, 1] * nx + c[:, 2], ny * nx)
-            # inverse map: canvas slot -> pillar row (num_v = zero spill row)
-            inv = jnp.full((ny * nx,), num_v, jnp.int32).at[idx].set(
-                jnp.arange(num_v, dtype=jnp.int32),
-                unique_indices=True, mode='drop')
-            f_ext = jnp.concatenate(
-                [f, jnp.zeros((1, f.shape[-1]), f.dtype)], axis=0)
-            return f_ext[inv].reshape(ny, nx, f.shape[-1])
-
-        spatial = jax.vmap(scatter_one)(feats, coords)  # (B, ny, nx, C) NHWC
+        valid = coords[..., 0] >= 0
+        # nz == 1, so y*nx + x ascends exactly like the sorted linear key;
+        # padding rows sit at the tail and key to the ny*nx sentinel
+        keys = jnp.where(valid, coords[..., 1] * nx + coords[..., 2],
+                         ny * nx).astype(jnp.int32)
+        canvas = scatter_rows_sorted(feats, keys, ny * nx)  # (B, ny*nx, C)
+        spatial = canvas.reshape(feats.shape[0], ny, nx, feats.shape[-1])
         return {**batch, 'spatial_features': spatial}
 
 

@@ -54,7 +54,7 @@ def load():
         lib.voxelize_f32.restype = ctypes.c_int32
         lib.voxelize_f32.argtypes = [
             f32p, ctypes.c_int64, ctypes.c_int32, f32p, f32p,
-            ctypes.c_int32, ctypes.c_int32, f32p, i32p, i32p]
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, f32p, i32p, i32p]
         lib.rotated_iou_bev.restype = None
         lib.rotated_iou_bev.argtypes = [
             f32p, ctypes.c_int64, f32p, ctypes.c_int64, ctypes.c_int32, f32p]
@@ -71,7 +71,7 @@ def _i32p(a):
 
 
 def voxelize_native(points, point_cloud_range, voxel_size,
-                    max_points_per_voxel, max_voxels):
+                    max_points_per_voxel, max_voxels, sort_rows=True):
     """Native twin of ops.voxelize.voxelize_np; returns None if lib missing."""
     lib = load()
     if lib is None:
@@ -85,7 +85,7 @@ def voxelize_native(points, point_cloud_range, voxel_size,
     num_points = np.empty((max_voxels,), np.int32)
     n_vox = lib.voxelize_f32(
         _f32p(points), n, c, _f32p(pc_range), _f32p(vsz),
-        max_points_per_voxel, max_voxels,
+        max_points_per_voxel, max_voxels, int(sort_rows),
         _f32p(voxels), _i32p(coords), _i32p(num_points))
     return voxels, coords, num_points, int(n_vox)
 

@@ -18,9 +18,11 @@
 // Build: g++ -O3 -march=native -shared -fPIC voxelizer.cpp -o libnative.so
 // Python binding: ctypes (see native/__init__.py). No pybind11 dependency.
 
+#include <algorithm>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <utility>
 #include <vector>
 
 namespace {
@@ -68,9 +70,16 @@ extern "C" {
 //   coords     (max_voxels, 3) int32, (z, y, x), padded -1
 //   num_points (max_voxels,) int32
 // Returns number of voxels produced.
+//
+// `sort_rows != 0` permutes the voxel rows into ascending linear-key order
+// ((z*gy + y)*gx + x) before returning — the framework-wide "sorted voxel
+// table" contract that lets device scatter kernels use contiguous tile
+// ranges (searchsorted starts). Voxel membership and per-voxel point order
+// (first-come) are unaffected; only row order changes.
 int32_t voxelize_f32(const float* points, int64_t n, int32_t c,
                      const float* pc_range, const float* voxel_size,
                      int32_t max_points, int32_t max_voxels,
+                     int32_t sort_rows,
                      float* voxels, int32_t* coords, int32_t* num_points) {
     // grid = round((hi - lo) / vs) in float64, matching
     // voxelize.grid_size_from_range / data_processor.py:62-64.
@@ -118,6 +127,32 @@ int32_t voxelize_f32(const float* points, int64_t n, int32_t c,
                         p, sizeof(float) * c);
             num_points[slot] = cnt + 1;
         }
+    }
+
+    if (sort_rows && n_vox > 1) {
+        std::vector<std::pair<int64_t, int32_t>> order(n_vox);
+        for (int32_t s = 0; s < n_vox; ++s) {
+            const int64_t key = (static_cast<int64_t>(coords[s * 3 + 0]) * gy
+                                 + coords[s * 3 + 1]) * gx + coords[s * 3 + 2];
+            order[s] = {key, s};
+        }
+        std::sort(order.begin(), order.end());
+        const int64_t row_f = static_cast<int64_t>(max_points) * c;
+        std::vector<float> vox_tmp(static_cast<size_t>(n_vox) * row_f);
+        std::vector<int32_t> crd_tmp(static_cast<size_t>(n_vox) * 3);
+        std::vector<int32_t> cnt_tmp(n_vox);
+        for (int32_t d = 0; d < n_vox; ++d) {
+            const int32_t s = order[d].second;
+            std::memcpy(&vox_tmp[static_cast<size_t>(d) * row_f],
+                        voxels + static_cast<int64_t>(s) * row_f,
+                        sizeof(float) * row_f);
+            std::memcpy(&crd_tmp[static_cast<size_t>(d) * 3], coords + s * 3,
+                        sizeof(int32_t) * 3);
+            cnt_tmp[d] = num_points[s];
+        }
+        std::memcpy(voxels, vox_tmp.data(), sizeof(float) * vox_tmp.size());
+        std::memcpy(coords, crd_tmp.data(), sizeof(int32_t) * crd_tmp.size());
+        std::memcpy(num_points, cnt_tmp.data(), sizeof(int32_t) * n_vox);
     }
     return n_vox;
 }

@@ -1,0 +1,164 @@
+"""TPU Pallas scatter: key-sorted sparse rows -> dense canvas.
+
+The dense-canvas scatter (PointPillarScatter, SparseConvTensor.dense()) is
+the single hottest non-conv op in the pillar pipeline: XLA serialises
+row-granularity scatters (~57ms/batch at KITTI eval shapes) and even the
+inverse-map gather formulation costs ~8ms in-model. This kernel exploits the
+framework's sorted-voxel-table contract (ops/voxelize.py): with rows sorted
+by linear key, the rows landing in any 512-slot canvas tile form a
+contiguous range [starts[t], starts[t+1]) (searchsorted), so each grid step
+builds its tile with one VMEM one-hot matmul on the MXU — no scatter at all.
+
+Gradient: scatter's transpose is a row gather, done in plain XLA.
+
+Falls back to the inverse-map gather on non-TPU backends (CPU tests,
+dryrun_multichip).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+TILE = 512
+
+
+K_TILES = 8  # canvas tiles per grid step (amortises per-step overhead)
+
+
+def _tile_kernel(starts_ref, keys_a, keys_b, feats_a, feats_b, out_ref,
+                 kscr, fscr):
+    import jax.experimental.pallas as pl
+
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    kt = K_TILES * TILE
+    # The index maps routed the two consecutive KT-row blocks that cover all
+    # of this step's row ranges here (copied into scratch so they can be
+    # dynamically sliced). Because keys are globally sorted, a window row
+    # contributes to slot s of tile j iff its key equals (t*K + j)*TILE + s
+    # — rows outside [lo_j, hi_j) have keys outside that tile's key range,
+    # so no explicit row mask is needed; padding rows carry the n_slots
+    # sentinel which can only land in the canvas pad the wrapper slices off.
+    kscr[0, :kt] = keys_a[0, 0, :]
+    kscr[0, kt:] = keys_b[0, 0, :]
+    fscr[:kt, :] = feats_a[0]
+    fscr[kt:, :] = feats_b[0]
+    win0 = (starts_ref[b, t * K_TILES] // kt) * kt  # == q*KT of the wrapper
+    prec = None if fscr.dtype == jnp.bfloat16 else jax.lax.Precision.HIGHEST
+    w = 2 * TILE
+    slots = jax.lax.broadcasted_iota(jnp.int32, (TILE, w), 0)
+    for j in range(K_TILES):
+        lo = starts_ref[b, t * K_TILES + j]
+        # TILE-aligned offset of tile j's rows inside the window; the clamp
+        # keeps the 2*TILE slice in bounds and is lossless: hi_j never
+        # exceeds the window end (q+2)*KT, so [lo_j, hi_j) still fits in
+        # the clamped slice.
+        off = pl.multiple_of(
+            jnp.minimum((lo // TILE) * TILE - win0, 2 * kt - 2 * TILE),
+            TILE)
+        kj = kscr[0:1, pl.ds(off, w)]
+        cj = fscr[pl.ds(off, w), :]
+        local = kj - (t * K_TILES + j) * TILE  # (1, W)
+        onehot = (slots == local).astype(cj.dtype)
+        acc = jax.lax.dot_general(
+            onehot, cj, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+        out_ref[0, j * TILE:(j + 1) * TILE, :] = acc.astype(out_ref.dtype)
+
+
+def _scatter_pallas(feats, keys, n_slots):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, v, c = feats.shape
+    kt = K_TILES * TILE
+    # pad rows so the KT-block index q = lo0 // KT is always <= nbk - 2
+    # (the kernel reads window blocks q and q+1 without clamping)
+    v_pad = (v // kt + 2) * kt
+    pad = v_pad - v
+    feats = jnp.concatenate(
+        [feats, jnp.zeros((b, pad, c), feats.dtype)], axis=1)
+    keys = jnp.concatenate(
+        [keys, jnp.full((b, pad), n_slots, keys.dtype)], axis=1)
+    v = v_pad
+
+    t_steps = -(-n_slots // kt)
+    n_tiles = t_steps * K_TILES
+    edges = jnp.arange(n_tiles + 1, dtype=jnp.int32) * TILE
+    starts = jax.vmap(lambda k: jnp.searchsorted(k, edges).astype(jnp.int32)
+                      )(keys)
+
+    def blk(bi, ti, s, off):
+        return s[bi, ti * K_TILES] // kt + off
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, t_steps),
+        in_specs=[
+            # keys as (B, 1, V) so the trailing block dims are (1, KT)
+            pl.BlockSpec((1, 1, kt), lambda bi, ti, s: (bi, 0, blk(bi, ti, s, 0))),
+            pl.BlockSpec((1, 1, kt), lambda bi, ti, s: (bi, 0, blk(bi, ti, s, 1))),
+            pl.BlockSpec((1, kt, c), lambda bi, ti, s: (bi, blk(bi, ti, s, 0), 0)),
+            pl.BlockSpec((1, kt, c), lambda bi, ti, s: (bi, blk(bi, ti, s, 1), 0)),
+        ],
+        out_specs=pl.BlockSpec((1, kt, c), lambda bi, ti, s: (bi, ti, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((1, 2 * kt), jnp.int32),
+            pltpu.VMEM((2 * kt, c), feats.dtype),
+        ],
+    )
+    keys3 = keys[:, None, :]
+    out = pl.pallas_call(
+        _tile_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, n_tiles * TILE, c), feats.dtype),
+    )(starts, keys3, keys3, feats, feats)
+    return out[:, :n_slots]
+
+
+def _scatter_invmap(feats, keys, n_slots):
+    """XLA fallback: scatter int32 row ids, gather feature rows."""
+    b, v, c = feats.shape
+
+    def one(f, k):
+        inv = jnp.full((n_slots,), v, jnp.int32).at[k].set(
+            jnp.arange(v, dtype=jnp.int32), unique_indices=True, mode='drop')
+        f_ext = jnp.concatenate([f, jnp.zeros((1, c), f.dtype)], axis=0)
+        return f_ext[inv]
+
+    return jax.vmap(one)(feats, keys)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def scatter_rows_sorted(feats, keys, n_slots):
+    """Scatter (B, V, C) rows to (B, n_slots, C) by per-sample keys.
+
+    Contract: keys int32, ascending per sample (sorted-voxel-table), unique
+    among valid rows, with invalid/padding rows keyed exactly `n_slots` and
+    placed at the tail. Invalid rows produce zeros.
+    """
+    return _scatter_fwd_impl(feats, keys, n_slots)
+
+
+def _scatter_fwd_impl(feats, keys, n_slots):
+    if jax.devices()[0].platform == 'tpu':
+        return _scatter_pallas(feats, keys, n_slots)
+    return _scatter_invmap(feats, keys, n_slots)
+
+
+def _scatter_fwd(feats, keys, n_slots):
+    return _scatter_fwd_impl(feats, keys, n_slots), keys
+
+
+def _scatter_bwd(n_slots, keys, g):
+    # transpose of scatter = gather; invalid rows (key == n_slots) read the
+    # appended zero row
+    g_ext = jnp.concatenate(
+        [g, jnp.zeros(g.shape[:1] + (1,) + g.shape[2:], g.dtype)], axis=1)
+    dfeats = jnp.take_along_axis(g_ext, keys[..., None], axis=1)
+    return dfeats, None
+
+
+scatter_rows_sorted.defvjp(_scatter_fwd, _scatter_bwd)

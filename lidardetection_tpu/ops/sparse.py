@@ -266,22 +266,16 @@ def build_inverse_rulebook(down: SparseTensor, up_coords, up_spatial_shape,
 
 
 def sparse_to_dense(st: SparseTensor):
-    """SparseConvTensor.dense(): (B, D, H, W, C) NDHWC (vs torch NCDHW)."""
+    """SparseConvTensor.dense(): (B, D, H, W, C) NDHWC (vs torch NCDHW).
+
+    SparseTensor rows are key-sorted with padding at the tail, so this is
+    the tiled one-hot-matmul scatter from ops/scatter_tpu.py (Pallas on
+    TPU, inverse-map gather elsewhere)."""
+    from .scatter_tpu import scatter_rows_sorted
+
     d, h, w = st.spatial_shape
+    b = st.features.shape[0]
     c = st.features.shape[-1]
-
-    num_v = st.features.shape[1]
-
-    def one(f, coords):
-        # inverse-map gather: scatter int32 row indices, then gather feature
-        # rows — ~3x faster than scattering C-wide rows on TPU.
-        valid = coords[:, 0] >= 0
-        key = linear_key(coords, st.spatial_shape)
-        key = jnp.where(valid, key, d * h * w)
-        inv = jnp.full((d * h * w,), num_v, jnp.int32).at[key].set(
-            jnp.arange(num_v, dtype=jnp.int32),
-            unique_indices=True, mode='drop')
-        f_ext = jnp.concatenate([f, jnp.zeros((1, c), f.dtype)], axis=0)
-        return f_ext[inv].reshape(d, h, w, c)
-
-    return jax.vmap(one)(st.features, st.coords)
+    keys = linear_key(st.coords, st.spatial_shape).astype(jnp.int32)
+    canvas = scatter_rows_sorted(st.features, keys, d * h * w)
+    return canvas.reshape(b, d, h, w, c)

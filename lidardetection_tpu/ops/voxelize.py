@@ -36,11 +36,19 @@ def grid_size_from_range(point_cloud_range, voxel_size):
     return np.round(grid).astype(np.int64)  # (nx, ny, nz)
 
 
-def voxelize_np(points, point_cloud_range, voxel_size, max_points_per_voxel, max_voxels):
+def voxelize_np(points, point_cloud_range, voxel_size, max_points_per_voxel,
+                max_voxels, sort_rows=True):
     """Host-side hard voxelizer.
 
     Args:
         points: (N, C) float array, C >= 3 (x, y, z, features...).
+        sort_rows: return the voxel table in ascending linear-key order
+            ((z*gy + y)*gx + x)) — the framework-wide sorted-table contract
+            consumed by the TPU scatter kernels (searchsorted tile ranges).
+            Voxel membership and first-come per-voxel point order are
+            unaffected. spconv's VoxelGenerator emits first-come row order
+            instead; nothing downstream depends on row order, so this is a
+            free degree of freedom.
     Returns:
         voxels: (max_voxels, max_points_per_voxel, C) float32
         coords: (max_voxels, 3) int32 in (z, y, x) order, padded with -1
@@ -50,7 +58,8 @@ def voxelize_np(points, point_cloud_range, voxel_size, max_points_per_voxel, max
     points = np.asarray(points, dtype=np.float32)
     from ..native import voxelize_native
     native = voxelize_native(points, point_cloud_range, voxel_size,
-                             max_points_per_voxel, max_voxels)
+                             max_points_per_voxel, max_voxels,
+                             sort_rows=sort_rows)
     if native is not None:
         return native
     pc_range = np.asarray(point_cloud_range, dtype=np.float32)
@@ -83,6 +92,13 @@ def voxelize_np(points, point_cloud_range, voxel_size, max_points_per_voxel, max
         if c < max_points_per_voxel:
             voxels[slot, c] = points[i]
             num_points[slot] = c + 1
+    if sort_rows and n_vox > 1:
+        zyx = coords_out[:n_vox].astype(np.int64)
+        key = (zyx[:, 0] * grid[1] + zyx[:, 1]) * grid[0] + zyx[:, 2]
+        order = np.argsort(key, kind='stable')
+        voxels[:n_vox] = voxels[order]
+        coords_out[:n_vox] = coords_out[order]
+        num_points[:n_vox] = num_points[order]
     return voxels, coords_out, num_points, n_vox
 
 

@@ -1,0 +1,100 @@
+"""Multi-device GSPMD data parallelism: sharded train/eval must match
+single-device execution on the same global batch.
+
+The conftest forces an 8-virtual-device CPU backend, so this exercises the
+same jit+NamedSharding path the driver's dryrun_multichip and the real
+multi-chip deployment use (replacing the reference's DDP/NCCL setup,
+tools/train.py:57-76).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lidardetection_tpu.config import cfg_from_yaml_file
+from lidardetection_tpu.datasets import build_dataloader
+from lidardetection_tpu.models import build_network
+from lidardetection_tpu.parallel.mesh import make_mesh
+from lidardetection_tpu.parallel.train_step import (
+    TrainState, device_batch, make_eval_step, make_train_step,
+)
+from lidardetection_tpu.utils.optimization import build_optimizer
+
+CFG_FILE = 'tools/cfgs/kitti_models/pointpillar.yaml'
+
+
+@pytest.fixture(scope='module')
+def setup():
+    cfg = cfg_from_yaml_file(CFG_FILE)
+    cfg.DATA_CONFIG.MAX_POINTS = 6000
+    cfg.DATA_CONFIG.DATA_PROCESSOR[2].MAX_NUMBER_OF_VOXELS = {
+        'train': 1200, 'test': 1200}
+    cfg.MODEL.POST_PROCESSING.NMS_CONFIG.NMS_PRE_MAXSIZE = 256
+    cfg.MODEL.POST_PROCESSING.NMS_CONFIG.NMS_POST_MAXSIZE = 32
+    cfg.DATA_CONFIG.DATASET = 'SyntheticDataset'
+    del cfg.DATA_CONFIG.DATA_AUGMENTOR
+    dataset, loader = build_dataloader(
+        cfg.DATA_CONFIG, cfg.CLASS_NAMES, batch_size=8, training=True,
+        num_scenes=8)
+    batch = device_batch(next(iter(loader)))
+    model = build_network(cfg.MODEL, len(cfg.CLASS_NAMES), cfg.CLASS_NAMES,
+                          dataset.dataset_info)
+    variables = model.init(jax.random.PRNGKey(0), batch,
+                           training=False)
+    opt, _ = build_optimizer(cfg.OPTIMIZATION, 5, 2)
+    state = TrainState.create(variables['params'], variables['batch_stats'],
+                              opt)
+    return cfg, model, state, batch
+
+
+def _fresh(state):
+    return jax.tree.map(jnp.copy, state)
+
+
+def test_mesh_uses_all_devices():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_sharded_train_matches_single_device(setup):
+    cfg, model, state, batch = setup
+    mesh = make_mesh()
+    step_sharded = make_train_step(model, mesh=mesh, donate=False)
+    step_single = make_train_step(model, donate=False)
+
+    s1, l1 = step_single(_fresh(state), batch)
+    s8, l8 = step_sharded(_fresh(state), batch)
+    # cross-replica BN (psum) + gradient allreduce must reproduce the
+    # single-device global-batch semantics up to reduce order (the bf16
+    # conv path amplifies f32 reduction noise to ~3e-4 relative; adam's
+    # grad/sqrt(v) normalization can turn that into up-to-lr parameter
+    # deltas on near-zero-gradient elements)
+    np.testing.assert_allclose(float(l1['loss']), float(l8['loss']),
+                               rtol=2e-3)
+    p1 = jax.tree.leaves(s1.params)
+    p8 = jax.tree.leaves(s8.params)
+    for a, b in zip(p1, p8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-2, atol=2e-3)
+    b1 = jax.tree.leaves(s1.batch_stats)
+    b8 = jax.tree.leaves(s8.batch_stats)
+    for a, b in zip(b1, b8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-2, atol=2e-3)
+
+
+def test_sharded_eval_matches_single_device(setup):
+    cfg, model, state, batch = setup
+    mesh = make_mesh()
+    ev_sharded = make_eval_step(model, cfg.MODEL.POST_PROCESSING,
+                                len(cfg.CLASS_NAMES), mesh=mesh)
+    ev_single = make_eval_step(model, cfg.MODEL.POST_PROCESSING,
+                               len(cfg.CLASS_NAMES))
+    p1 = ev_single(state.params, state.batch_stats, batch)
+    p8 = ev_sharded(state.params, state.batch_stats, batch)
+    np.testing.assert_array_equal(np.asarray(p1['num_preds']),
+                                  np.asarray(p8['num_preds']))
+    np.testing.assert_allclose(np.asarray(p1['pred_boxes']),
+                               np.asarray(p8['pred_boxes']),
+                               rtol=1e-4, atol=1e-4)

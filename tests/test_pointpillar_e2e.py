@@ -66,7 +66,11 @@ def test_forward_shapes(cfg, data, model_and_vars):
     assert out['spatial_features_2d'].shape == (2, 248, 216, 384)
     a = 248 * 216 * 6
     assert out['batch_cls_preds'].shape == (2, a, 3)
-    assert out['batch_box_preds'].shape == (2, a, 7)
+    # single-stage eval defers box decode to post_processing (top-k rows only)
+    assert out['batch_box_raw'].shape == (2, a, 7)
+    assert out['decode_box_fn'](
+        out['batch_box_raw'][:, :8], out['batch_dir_raw'][:, :8],
+        out['batch_box_anchors'][None, :8]).shape == (2, 8, 7)
 
 
 def test_loss_and_grad(cfg, data, model_and_vars):

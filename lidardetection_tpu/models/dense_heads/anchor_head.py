@@ -165,22 +165,63 @@ class AnchorHeadSingle(nn.Module):
                 if self.use_dir else None
             batch_cls = cls_preds.reshape(b, -1, self.num_class)
             if not training and not self.predict_boxes_when_training:
-                out['batch_cls_preds'] = batch_cls  # compute dtype; post
-                # re-computes f32 scores on the gathered top-k rows
-            else:
-                out['batch_cls_preds'] = batch_cls.astype(jnp.float32)
-            out['cls_preds_normalized'] = False
-            if not training and not self.predict_boxes_when_training:
                 # Single-stage eval: defer the (B, N_anchors) box decode so
                 # post_processing can decode only the top-k candidate rows
-                # (exactly equal results — decode is per-row).
-                out['batch_box_raw'] = box_raw
-                out['batch_dir_raw'] = dir_raw
-                out['batch_box_anchors'] = anchors
+                # (exactly equal results — decode is per-row). Raw preds are
+                # packed per-anchor into ONE array so post_processing does a
+                # single wide row gather instead of three narrow ones, and
+                # anchors are reconstructed arithmetically (the dense grid
+                # is separable: xy from the position index, the rest from an
+                # (na, code-2) table) instead of gathering 7-wide f32 rows.
+                out['batch_cls_preds'] = batch_cls  # compute dtype; post
+                # re-computes f32 scores on the gathered top-k rows
+                nz, ny, nx = (int(v) for v in info['feature_map_size'])
+                na = info['num_anchors_per_location']
+                nd = self.num_dir_bins if self.use_dir else 0
+                hw = nz * ny * nx
+                packed = jnp.concatenate(
+                    [cls_preds.reshape(b, hw, na, self.num_class),
+                     box_preds.reshape(b, hw, na, code)]
+                    + ([dir_preds.reshape(b, hw, na, nd)]
+                       if self.use_dir else []),
+                    axis=-1).reshape(b, hw * na, -1)
+                out['batch_head_raw'] = packed
+                out['head_raw_sizes'] = (self.num_class, code, nd)
+
+                fa = info['flat_anchors']  # numpy (N, code)
+                ar = fa.reshape(nz * ny, nx, na, fa.shape[-1])
+                xs, ys = ar[0, :, 0, 0], ar[:, 0, 0, 1]
+                tab = ar[0, 0, :, 2:]
+                recon = np.concatenate([
+                    np.broadcast_to(xs[None, :, None, None],
+                                    ar[..., :1].shape),
+                    np.broadcast_to(ys[:, None, None, None],
+                                    ar[..., 1:2].shape),
+                    np.broadcast_to(tab[None, None], ar[..., 2:].shape),
+                ], axis=-1)
+                if np.allclose(recon, ar):
+                    xs_j, ys_j, tab_j = (jnp.asarray(v)
+                                         for v in (xs, ys, tab))
+
+                    def anchor_from_idx(idx):
+                        a = idx % na
+                        pos = idx // na
+                        ix = pos % nx
+                        iy = pos // nx
+                        return jnp.concatenate(
+                            [xs_j[ix][..., None], ys_j[iy][..., None],
+                             tab_j[a]], axis=-1)
+                else:  # non-separable grid: plain row gather
+                    def anchor_from_idx(idx):
+                        return jnp.asarray(fa)[idx]
+
+                out['anchor_from_idx'] = anchor_from_idx
                 out['decode_box_fn'] = decode_boxes
             else:
+                out['batch_cls_preds'] = batch_cls.astype(jnp.float32)
                 out['batch_box_preds'] = decode_boxes(
                     box_raw, dir_raw, anchors[None])
+            out['cls_preds_normalized'] = False
 
         out['anchor_head_fwd'] = fwd
         return out

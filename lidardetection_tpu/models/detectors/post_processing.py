@@ -52,8 +52,12 @@ def post_processing(batch, post_cfg, num_class):
         # logits (sigmoid is monotonic) in the head's compute dtype, select
         # the top NMS_PRE_MAXSIZE rows, and only then upcast + sigmoid +
         # decode those rows — same results as decoding all anchors, ~80x
-        # less decode/cast work for PointPillar grids.
-        rank = cls_raw.max(axis=-1).astype(jnp.float32)  # (B, N)
+        # less decode/cast work for PointPillar grids. Raw preds come
+        # packed per-anchor (batch_head_raw) so one wide gather fetches
+        # cls+box+dir together; anchors are reconstructed from idx.
+        packed = batch['batch_head_raw']  # (B, N, nc+code+nd)
+        nc, code, nd = batch['head_raw_sizes']
+        rank = packed[..., :nc].max(axis=-1).astype(jnp.float32)  # (B, N)
         if score_thresh is not None:
             thr = float(score_thresh) if normalized else \
                 float(np.log(score_thresh / (1.0 - score_thresh)))
@@ -74,8 +78,8 @@ def post_processing(batch, post_cfg, num_class):
             # NMS — AP-neutral. Set NMS_CONFIG.EXACT_TOPK for exact.
             top_s, top_i = jax.lax.approx_max_k(
                 masked, pre, recall_target=0.99)
-        take = lambda a: jnp.take_along_axis(a, top_i[..., None], axis=1)
-        cls_rows = take(cls_raw).astype(jnp.float32)
+        rows = jnp.take_along_axis(packed, top_i[..., None], axis=1)
+        cls_rows = rows[..., :nc].astype(jnp.float32)
         probs = cls_rows if normalized else jax.nn.sigmoid(cls_rows)
         scores = probs.max(axis=-1)
         if label_src is not None:
@@ -83,11 +87,10 @@ def post_processing(batch, post_cfg, num_class):
                 label_src.astype(jnp.int32), top_i, axis=1)
         else:
             labels = probs.argmax(axis=-1).astype(jnp.int32) + 1
-        dir_raw = batch['batch_dir_raw']
-        dir_rows = take(dir_raw) if dir_raw is not None else None
-        anchor_rows = batch['batch_box_anchors'][top_i]
+        dir_rows = rows[..., nc + code:] if nd else None
+        anchor_rows = batch['anchor_from_idx'](top_i)
         box_preds = batch['decode_box_fn'](
-            take(batch['batch_box_raw']), dir_rows, anchor_rows)
+            rows[..., nc:nc + code], dir_rows, anchor_rows)
         valid = jnp.isfinite(top_s)
         scores = jnp.where(valid, scores, 0.0)
     else:

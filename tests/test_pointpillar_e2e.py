@@ -59,18 +59,36 @@ def test_batch_shapes(cfg, data):
 
 
 def test_forward_shapes(cfg, data, model_and_vars):
-    _, _, batch = data
+    dataset, _, batch = data
     model, variables = model_and_vars
     out = model.apply(variables, device_batch(batch), training=False)
     assert out['spatial_features'].shape == (2, 496, 432, 64)
     assert out['spatial_features_2d'].shape == (2, 248, 216, 384)
     a = 248 * 216 * 6
     assert out['batch_cls_preds'].shape == (2, a, 3)
-    # single-stage eval defers box decode to post_processing (top-k rows only)
-    assert out['batch_box_raw'].shape == (2, a, 7)
-    assert out['decode_box_fn'](
-        out['batch_box_raw'][:, :8], out['batch_dir_raw'][:, :8],
-        out['batch_box_anchors'][None, :8]).shape == (2, 8, 7)
+    # single-stage eval defers box decode to post_processing (top-k rows
+    # only): raw preds packed per-anchor, anchors reconstructed from idx
+    nc, code, nd = out['head_raw_sizes']
+    assert (nc, code, nd) == (3, 7, 2)
+    assert out['batch_head_raw'].shape == (2, a, nc + code + nd)
+    idx = jnp.asarray(
+        np.random.RandomState(0).randint(0, a, (2, 8)).astype(np.int32))
+    anchors = out['anchor_from_idx'](idx)
+    assert anchors.shape == (2, 8, 7)
+    # arithmetic reconstruction must match the dense anchor table exactly
+    from lidardetection_tpu.models.dense_heads.anchor_head import (
+        build_head_anchors,
+    )
+    info = build_head_anchors(cfg.MODEL.DENSE_HEAD, dataset.grid_size,
+                              cfg.DATA_CONFIG.POINT_CLOUD_RANGE,
+                              len(cfg.CLASS_NAMES))
+    np.testing.assert_allclose(np.asarray(anchors),
+                               info['flat_anchors'][np.asarray(idx)],
+                               rtol=1e-6)
+    decoded = out['decode_box_fn'](
+        out['batch_head_raw'][:, :8, nc:nc + code],
+        out['batch_head_raw'][:, :8, nc + code:], anchors)
+    assert decoded.shape == (2, 8, 7)
 
 
 def test_loss_and_grad(cfg, data, model_and_vars):

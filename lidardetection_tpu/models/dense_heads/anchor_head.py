@@ -96,14 +96,35 @@ class AnchorHeadSingle(nn.Module):
         x = batch['spatial_features_2d']  # (B, H, W, C)
         b = x.shape[0]
         cdt = self.dtype or x.dtype
-        ws = [self.w_cls, self.w_box] + ([self.w_dir] if self.use_dir else [])
-        bs = [self.b_cls, self.b_box] + ([self.b_dir] if self.use_dir else [])
+        info = self._anchor_info
+        na = info['num_anchors_per_location']
+        nc = self.num_class
+        code = self.box_coder.full_code_size
+        nd = self.num_dir_bins if self.use_dir else 0
+        tot = nc + code + nd
+        # One fused matmul whose output channels are already interleaved
+        # per-anchor ([a0: cls|box|dir][a1: ...]): the column shuffle of the
+        # three weight matrices happens at compile time, so the packed
+        # (B, N_anchors, tot) view post_processing gathers from is a free
+        # reshape instead of a runtime transpose.
+        ws, bs = [], []
+        for a in range(na):
+            ws += [self.w_cls[:, a * nc:(a + 1) * nc],
+                   self.w_box[:, a * code:(a + 1) * code]]
+            bs += [self.b_cls[a * nc:(a + 1) * nc],
+                   self.b_box[a * code:(a + 1) * code]]
+            if self.use_dir:
+                ws.append(self.w_dir[:, a * nd:(a + 1) * nd])
+                bs.append(self.b_dir[a * nd:(a + 1) * nd])
         fused = x.astype(cdt) @ jnp.concatenate(ws, 1).astype(cdt) \
-            + jnp.concatenate(bs).astype(cdt)  # (B, H, W, sum)
-        n_cls, n_box = self.w_cls.shape[1], self.w_box.shape[1]
-        cls_preds = fused[..., :n_cls]
-        box_preds = fused[..., n_cls:n_cls + n_box]
-        dir_preds = fused[..., n_cls + n_box:] if self.use_dir else None
+            + jnp.concatenate(bs).astype(cdt)  # (B, H, W, na*tot)
+        h, w = fused.shape[1], fused.shape[2]
+        packed = fused.reshape(b, h * w * na, tot)
+        fused4 = fused.reshape(b, h, w, na, tot)
+        cls_preds = fused4[..., :nc].reshape(b, h, w, na * nc)
+        box_preds = fused4[..., nc:nc + code].reshape(b, h, w, na * code)
+        dir_preds = fused4[..., nc + code:].reshape(b, h, w, na * nd) \
+            if self.use_dir else None
         out = dict(batch)
         if training:
             # losses are precision-sensitive: full-resolution f32 there;
@@ -163,30 +184,20 @@ class AnchorHeadSingle(nn.Module):
             box_raw = box_preds.reshape(b, -1, code)
             dir_raw = dir_preds.reshape(b, -1, self.num_dir_bins) \
                 if self.use_dir else None
-            batch_cls = cls_preds.reshape(b, -1, self.num_class)
             if not training and not self.predict_boxes_when_training:
                 # Single-stage eval: defer the (B, N_anchors) box decode so
                 # post_processing can decode only the top-k candidate rows
                 # (exactly equal results — decode is per-row). Raw preds are
-                # packed per-anchor into ONE array so post_processing does a
-                # single wide row gather instead of three narrow ones, and
-                # anchors are reconstructed arithmetically (the dense grid
-                # is separable: xy from the position index, the rest from an
+                # already packed per-anchor (see the fused matmul above) so
+                # post_processing does a single wide row gather, and anchors
+                # are reconstructed arithmetically (the dense grid is
+                # separable: xy from the position index, the rest from an
                 # (na, code-2) table) instead of gathering 7-wide f32 rows.
-                out['batch_cls_preds'] = batch_cls  # compute dtype; post
-                # re-computes f32 scores on the gathered top-k rows
+                out['batch_cls_preds'] = packed[..., :nc]  # compute dtype;
+                # post re-computes f32 scores on the gathered top-k rows
                 nz, ny, nx = (int(v) for v in info['feature_map_size'])
-                na = info['num_anchors_per_location']
-                nd = self.num_dir_bins if self.use_dir else 0
-                hw = nz * ny * nx
-                packed = jnp.concatenate(
-                    [cls_preds.reshape(b, hw, na, self.num_class),
-                     box_preds.reshape(b, hw, na, code)]
-                    + ([dir_preds.reshape(b, hw, na, nd)]
-                       if self.use_dir else []),
-                    axis=-1).reshape(b, hw * na, -1)
                 out['batch_head_raw'] = packed
-                out['head_raw_sizes'] = (self.num_class, code, nd)
+                out['head_raw_sizes'] = (nc, code, nd)
 
                 fa = info['flat_anchors']  # numpy (N, code)
                 ar = fa.reshape(nz * ny, nx, na, fa.shape[-1])
@@ -218,7 +229,8 @@ class AnchorHeadSingle(nn.Module):
                 out['anchor_from_idx'] = anchor_from_idx
                 out['decode_box_fn'] = decode_boxes
             else:
-                out['batch_cls_preds'] = batch_cls.astype(jnp.float32)
+                out['batch_cls_preds'] = \
+                    packed[..., :nc].astype(jnp.float32)
                 out['batch_box_preds'] = decode_boxes(
                     box_raw, dir_raw, anchors[None])
             out['cls_preds_normalized'] = False

@@ -8,9 +8,10 @@ fixed capacity shards cleanly over a data mesh axis.
 """
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
-from ..layers import MaskedBatchNorm
+from ..layers import BN_EPS, BN_MOMENTUM, MaskedBatchNorm
 
 
 class MeanVFE(nn.Module):
@@ -96,26 +97,116 @@ class PillarVFE(nn.Module):
             [voxels[..., 0] - cx, voxels[..., 1] - cy, voxels[..., 2] - cz],
             axis=-1)
 
-        feats = [voxels if use_abs_xyz else voxels[..., 3:], f_cluster, f_center]
-        if with_distance:
-            feats.append(jnp.linalg.norm(voxels[..., :3], axis=-1, keepdims=True))
-        features = jnp.concatenate(feats, axis=-1)
+        fast = (len(num_filters) == 1 and cfg.get('USE_NORM', True)
+                and use_abs_xyz and not with_distance
+                and voxels.shape[-1] == 4)
+        if fast:
+            features = self._single_pfn(
+                voxels, npts, pillar_valid, points_mean,
+                jnp.concatenate([cx, cy, cz], axis=-1), f_cluster, f_center,
+                num_filters[0], training)
+        else:
+            feats = [voxels if use_abs_xyz else voxels[..., 3:], f_cluster,
+                     f_center]
+            if with_distance:
+                feats.append(jnp.linalg.norm(voxels[..., :3], axis=-1,
+                                             keepdims=True))
+            features = jnp.concatenate(feats, axis=-1)
 
-        # zero padding points AND padding pillars (pillar_vfe.py:115-117)
-        point_mask = (
-            jnp.arange(p)[None, None, :] < npts[..., None]
-        ) & pillar_valid[..., None]
-        features = features * point_mask[..., None].astype(features.dtype)
+            # zero padding points AND padding pillars (pillar_vfe.py:115-117)
+            point_mask = (
+                jnp.arange(p)[None, None, :] < npts[..., None]
+            ) & pillar_valid[..., None]
+            features = features * point_mask[..., None].astype(features.dtype)
 
-        for i, nf in enumerate(num_filters):
-            features = PFNLayer(
-                out_channels=nf,
-                use_norm=cfg.get('USE_NORM', True),
-                last_layer=(i == len(num_filters) - 1),
-                axis_name=self.axis_name,
-                dtype=self.dtype,
-            )(features, pillar_valid, training)
+            for i, nf in enumerate(num_filters):
+                features = PFNLayer(
+                    out_channels=nf,
+                    use_norm=cfg.get('USE_NORM', True),
+                    last_layer=(i == len(num_filters) - 1),
+                    axis_name=self.axis_name,
+                    dtype=self.dtype,
+                )(features, pillar_valid, training)
 
         # (B, V, C_out); zero invalid pillars so the scatter writes zeros
         features = features * pillar_valid[..., None].astype(features.dtype)
         return {**batch, 'pillar_features': features}
+
+    def _single_pfn(self, voxels, npts, pillar_valid, points_mean, centers,
+                    f_cluster, f_center, c_out, training):
+        """Single-PFN fast path with the params owned here so training (XLA,
+        batch statistics) and eval (fused Pallas kernel / decomposed XLA)
+        share them. Feature order matches the concat path:
+        K rows = [xyz (3), intensity (1), cluster (3), center (3)]."""
+        cdt = self.dtype or voxels.dtype
+        kernel = self.param('pfn_kernel', nn.initializers.lecun_normal(),
+                            (10, c_out))
+        scale = self.param('pfn_bn_scale', nn.initializers.ones, (c_out,))
+        bias = self.param('pfn_bn_bias', nn.initializers.zeros, (c_out,))
+        ra_mean = self.variable('batch_stats', 'pfn_mean',
+                                lambda: jnp.zeros(c_out, jnp.float32))
+        ra_var = self.variable('batch_stats', 'pfn_var',
+                               lambda: jnp.ones(c_out, jnp.float32))
+        b, v, p, _ = voxels.shape
+
+        if training:
+            point_mask = (
+                jnp.arange(p)[None, None, :] < npts[..., None]
+            ) & pillar_valid[..., None]
+            aug = jnp.concatenate([voxels, f_cluster, f_center], axis=-1)
+            aug = aug * point_mask[..., None].astype(aug.dtype)
+            z = aug.astype(cdt) @ kernel.astype(cdt)  # (B, V, P, C)
+            zf = z.astype(jnp.float32)
+            m = jnp.broadcast_to(pillar_valid[..., None, None], zf.shape[:3]
+                                 + (1,)).astype(jnp.float32)
+            cnt = jnp.maximum(m.sum(), 1.0)
+            if self.axis_name is not None:
+                cnt = jax.lax.psum(cnt, self.axis_name)
+                s1 = jax.lax.psum((zf * m).sum((0, 1, 2)), self.axis_name)
+                s2 = jax.lax.psum((zf * zf * m).sum((0, 1, 2)),
+                                  self.axis_name)
+            else:
+                s1 = (zf * m).sum((0, 1, 2))
+                s2 = (zf * zf * m).sum((0, 1, 2))
+            mean = s1 / cnt
+            var = jnp.maximum(s2 / cnt - mean * mean, 0.0)
+            if not self.is_initializing():
+                ra_mean.value = BN_MOMENTUM * ra_mean.value \
+                    + (1 - BN_MOMENTUM) * mean
+                ra_var.value = BN_MOMENTUM * ra_var.value \
+                    + (1 - BN_MOMENTUM) * var
+        else:
+            mean, var = ra_mean.value, ra_var.value
+
+        inv = jax.lax.rsqrt(var + BN_EPS) * scale
+        shift = bias - mean * inv
+        if training:
+            x = z * inv.astype(z.dtype) + shift.astype(z.dtype)
+            return nn.relu(x).max(axis=2)
+
+        # eval: algebraic decomposition (see ops/vfe_tpu.py)
+        k_xyz, k_i = kernel[0:3], kernel[3:4]
+        k_cl, k_ce = kernel[4:7], kernel[7:10]
+        w4 = jnp.concatenate([k_xyz + k_cl + k_ce, k_i], axis=0) \
+            * inv[None, :]  # (4, C)
+        mean_c = points_mean.squeeze(2) - centers  # (B, V, 3)
+        pillar_bias = (centers @ k_xyz - mean_c @ k_cl) * inv[None, None] \
+            + shift  # (B, V, C) f32
+        vox4 = voxels
+        ctr4 = jnp.concatenate(
+            [centers, jnp.zeros(centers.shape[:-1] + (1,), centers.dtype)],
+            axis=-1)
+        if jax.devices()[0].platform == 'tpu':
+            from ...ops.vfe_tpu import pillar_vfe_fused
+            return pillar_vfe_fused(vox4, ctr4, pillar_bias, npts, w4, shift,
+                                    out_dtype=cdt)
+        # XLA fallback: identical math, materialized point dim
+        xc = vox4 - ctr4[:, :, None, :]
+        z = (xc.astype(cdt) @ w4.astype(cdt)).astype(jnp.float32) \
+            + pillar_bias[:, :, None]
+        rows = jnp.arange(p)[None, None, :]
+        z = jnp.where((rows < npts[..., None])[..., None], z, -jnp.inf)
+        m = z.max(axis=2)
+        pad_val = jnp.where((npts < p)[..., None], shift[None, None],
+                            -jnp.inf)
+        return nn.relu(jnp.maximum(m, pad_val)).astype(cdt)

@@ -39,9 +39,9 @@ def main():
                           dataset.dataset_info)
     db = device_batch(batch)
     variables = model.init(jax.random.PRNGKey(0), db, training=False)
-    step = make_eval_step(model, cfg.MODEL.POST_PROCESSING, len(cfg.CLASS_NAMES))
-
     import jax.numpy as jnp
+
+    from lidardetection_tpu.models.detectors.post_processing import post_processing
 
     params, stats = variables['params'], variables['batch_stats']
     db = jax.device_put(db)
@@ -49,22 +49,29 @@ def main():
     # block_until_ready does not reliably block)
     _ = float(jnp.sum(db['voxels']))
 
-    def run_chain(n):
-        # chain iterations through an on-device data dependency and end with
-        # a single scalar fetch: per-iteration host syncs would measure the
-        # tunnel round-trip, and free-running dispatch measures nothing
-        carry = jnp.float32(0.0)
-        out = None
-        for _ in range(n):
-            dbi = {**db, 'voxels': db['voxels'] + carry * 1e-12}
-            out = step(params, stats, dbi)
-            carry = out['pred_scores'].reshape(-1)[0]
-        return float(carry)
+    post_cfg = cfg.MODEL.POST_PROCESSING
+    num_class = len(cfg.CLASS_NAMES)
 
-    run_chain(2)  # warmup / compile
-    iters = 30
+    @jax.jit
+    def chain(params, stats, db, n):
+        # run the whole timed loop on device: each iteration depends on the
+        # previous via a scalar carry (so XLA cannot elide or overlap work),
+        # and the host pays ONE dispatch + ONE scalar fetch. Per-iteration
+        # host dispatch through the axon tunnel costs ~30 ms and would
+        # measure the relay, not the chip.
+        def body(_, carry):
+            dbi = {**db, 'voxels': db['voxels'] + carry * 1e-12}
+            out = model.apply({'params': params, 'batch_stats': stats},
+                              dbi, training=False)
+            preds = post_processing(out, post_cfg, num_class)
+            return preds['pred_scores'].reshape(-1)[0]
+
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+    _ = float(chain(params, stats, db, 2))  # warmup / compile
+    iters = 50
     t0 = time.perf_counter()
-    run_chain(iters)
+    _ = float(chain(params, stats, db, iters))
     dt = time.perf_counter() - t0
 
     scans_per_sec = iters * batch_size / dt

@@ -196,11 +196,11 @@ class PillarVFE(nn.Module):
         ctr4 = jnp.concatenate(
             [centers, jnp.zeros(centers.shape[:-1] + (1,), centers.dtype)],
             axis=-1)
-        if jax.devices()[0].platform == 'tpu':
-            from ...ops.vfe_tpu import pillar_vfe_fused
-            return pillar_vfe_fused(vox4, ctr4, pillar_bias, npts, w4, shift,
-                                    out_dtype=cdt)
-        # XLA fallback: identical math, materialized point dim
+        # XLA path: identical math, materialized point dim. Measured on a
+        # v5e chip at eval capacity (8x40448x32): XLA 2.3 ms/batch vs 3.1 ms
+        # for the block-diag Pallas kernel (ops/vfe_tpu.py) and 24-52 ms for
+        # the row-wise kernel — XLA's fusion of matmul+mask+max wins, so the
+        # Pallas kernels stay as reference implementations only.
         xc = vox4 - ctr4[:, :, None, :]
         z = (xc.astype(cdt) @ w4.astype(cdt)).astype(jnp.float32) \
             + pillar_bias[:, :, None]

@@ -28,9 +28,10 @@ K_TILES = 8  # canvas tiles per grid step (amortises per-step overhead)
 
 
 def _tile_kernel(starts_ref, keys_a, keys_b, feats_a, feats_b, out_ref,
-                 kscr, fscr):
+                 kscr, fscr, *, tile=TILE, k_tiles=K_TILES):
     import jax.experimental.pallas as pl
 
+    TILE, K_TILES = tile, k_tiles
     b = pl.program_id(0)
     t = pl.program_id(1)
     kt = K_TILES * TILE
@@ -68,10 +69,11 @@ def _tile_kernel(starts_ref, keys_a, keys_b, feats_a, feats_b, out_ref,
         out_ref[0, j * TILE:(j + 1) * TILE, :] = acc.astype(out_ref.dtype)
 
 
-def _scatter_pallas(feats, keys, n_slots):
+def _scatter_pallas(feats, keys, n_slots, tile=TILE, k_tiles=K_TILES):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    TILE, K_TILES = tile, k_tiles
     b, v, c = feats.shape
     kt = K_TILES * TILE
     # pad rows so the KT-block index q = lo0 // KT is always <= nbk - 2
@@ -111,7 +113,7 @@ def _scatter_pallas(feats, keys, n_slots):
     )
     keys3 = keys[:, None, :]
     out = pl.pallas_call(
-        _tile_kernel,
+        functools.partial(_tile_kernel, tile=TILE, k_tiles=K_TILES),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, n_tiles * TILE, c), feats.dtype),
     )(starts, keys3, keys3, feats, feats)

@@ -1,0 +1,106 @@
+"""Per-stage TPU timing for a detector's eval path.
+
+Times cumulative prefixes of the module topology (vfe, map_to_bev,
+backbone_2d, dense_head, ...) plus post-processing, each as an on-device
+fori_loop chain (one dispatch, one scalar fetch), and prints the marginal
+cost of each stage. Companion to bench.py for perf work.
+"""
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--cfg_file', default='tools/cfgs/kitti_models/pointpillar.yaml')
+    ap.add_argument('--batch_size', type=int, default=8)
+    ap.add_argument('--iters', type=int, default=20)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from lidardetection_tpu.config import cfg_from_yaml_file
+    from lidardetection_tpu.datasets import build_dataloader
+    from lidardetection_tpu.models import build_network
+    from lidardetection_tpu.models.detectors.post_processing import post_processing
+    from lidardetection_tpu.parallel.train_step import device_batch
+    from lidardetection_tpu.utils.common import set_random_seed
+
+    set_random_seed(42)
+    cfg = cfg_from_yaml_file(args.cfg_file)
+    cfg.DATA_CONFIG.DATASET = 'SyntheticDataset'
+    cfg.DATA_CONFIG.MAX_POINTS = 32768
+    if 'DATA_AUGMENTOR' in cfg.DATA_CONFIG:
+        del cfg.DATA_CONFIG.DATA_AUGMENTOR
+
+    dataset, loader = build_dataloader(
+        cfg.DATA_CONFIG, cfg.CLASS_NAMES, batch_size=args.batch_size,
+        training=False, num_scenes=args.batch_size)
+    batch = next(iter(loader))
+    model = build_network(cfg.MODEL, len(cfg.CLASS_NAMES), cfg.CLASS_NAMES,
+                          dataset.dataset_info)
+    db = device_batch(batch)
+    variables = model.init(jax.random.PRNGKey(0), db, training=False)
+    params, stats = variables['params'], variables['batch_stats']
+    db = jax.device_put(db)
+    _ = float(jnp.sum(db['voxels']))
+
+    # discover module order from an unbound setup
+    bound = model.bind(variables)
+    order = bound.module_order
+    del bound
+    post_cfg = cfg.MODEL.POST_PROCESSING
+    num_class = len(cfg.CLASS_NAMES)
+
+    def leaf_scalar(tree):
+        tot = jnp.float32(0.0)
+        for leaf in jax.tree_util.tree_leaves(tree):
+            if hasattr(leaf, 'dtype') and jnp.issubdtype(leaf.dtype, jnp.floating):
+                tot = tot + jnp.sum(leaf.astype(jnp.float32)) * 1e-12
+        return tot
+
+    def prefix_fn(k, with_post=False):
+        def run(m, batch, training=False):
+            if 'points' in batch and 'point_valid' not in batch:
+                n = batch['points'].shape[1]
+                batch = {**batch, 'point_valid':
+                         jnp.arange(n)[None, :] < batch['num_points'][:, None]}
+            for name in m.module_order[:k]:
+                batch = getattr(m, name)(batch, training=training)
+            return batch
+
+        @jax.jit
+        def chain(params, stats, db, n):
+            def body(_, carry):
+                dbi = {**db, 'voxels': db['voxels'] + carry}
+                out = model.apply({'params': params, 'batch_stats': stats},
+                                  dbi, training=False, method=run)
+                if with_post:
+                    out = post_processing(out, post_cfg, num_class)
+                return leaf_scalar(out)
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+        return chain
+
+    stages = [(f'{i}:{order[i-1]}', prefix_fn(i)) for i in range(1, len(order) + 1)]
+    stages.append(('post_processing', prefix_fn(len(order), with_post=True)))
+
+    prev = 0.0
+    print(f'{"stage":<24}{"cum ms/batch":>14}{"marginal ms":>14}')
+    for name, chain in stages:
+        _ = float(chain(params, stats, db, 2))
+        t0 = time.perf_counter()
+        _ = float(chain(params, stats, db, args.iters))
+        dt = (time.perf_counter() - t0) / args.iters * 1000
+        print(f'{name:<24}{dt:>14.2f}{dt - prev:>14.2f}')
+        prev = dt
+
+
+if __name__ == '__main__':
+    main()

@@ -15,8 +15,13 @@ CLASS_SIZE = {
     'Car': (3.9, 1.6, 1.56),
     'Pedestrian': (0.8, 0.6, 1.73),
     'Cyclist': (1.76, 0.6, 1.73),
+    # fork/Livox/Mix classes (livox_models/*.yaml anchor sizes)
+    'Truck': (6.4, 2.5, 3.5),
+    'Tram': (11.2, 2.9, 4.0),
 }
-CLASS_Z = {'Car': -1.0, 'Pedestrian': -0.73, 'Cyclist': -0.73}
+CLASS_Z = {'Car': -1.0, 'Pedestrian': -0.73, 'Cyclist': -0.73,
+           'Truck': 0.0, 'Tram': 0.0}
+_DEFAULT_SIZE, _DEFAULT_Z = (4.0, 1.8, 1.6), -1.0  # unknown class fallback
 
 
 def make_scene(rng, point_cloud_range, num_objects=8, points_per_obj=120,
@@ -26,10 +31,10 @@ def make_scene(rng, point_cloud_range, num_objects=8, points_per_obj=120,
     gt_boxes, gt_names, obj_points = [], [], []
     for _ in range(num_objects):
         name = class_names[rng.randint(len(class_names))]
-        dx, dy, dz = CLASS_SIZE[name]
+        dx, dy, dz = CLASS_SIZE.get(name, _DEFAULT_SIZE)
         cx = rng.uniform(x1 + 5, x2 - 5)
         cy = rng.uniform(y1 + 5, y2 - 5)
-        cz = CLASS_Z[name]
+        cz = CLASS_Z.get(name, _DEFAULT_Z)
         heading = rng.uniform(-np.pi, np.pi)
         sx = rng.uniform(0.9, 1.15)
         box = [cx, cy, cz, dx * sx, dy * sx, dz * sx, heading]

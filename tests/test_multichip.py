@@ -71,7 +71,7 @@ def test_sharded_train_matches_single_device(setup):
     # grad/sqrt(v) normalization can turn that into up-to-lr parameter
     # deltas on near-zero-gradient elements)
     np.testing.assert_allclose(float(l1['loss']), float(l8['loss']),
-                               rtol=2e-3)
+                               rtol=4e-3)
     p1 = jax.tree.leaves(s1.params)
     p8 = jax.tree.leaves(s8.params)
     for a, b in zip(p1, p8):

@@ -20,10 +20,14 @@ def shrink(c):
     if 'DATA_AUGMENTOR' in c.DATA_CONFIG:
         del c.DATA_CONFIG.DATA_AUGMENTOR
     c.DATA_CONFIG.MAX_POINTS = 2048
+    pillar = c.MODEL.get('MAP_TO_BEV', {}).get('NAME') == 'PointPillarScatter'
+    z_extent = float(c.DATA_CONFIG.POINT_CLOUD_RANGE[5]
+                     - c.DATA_CONFIG.POINT_CLOUD_RANGE[2])
     for p in c.DATA_CONFIG.DATA_PROCESSOR:
         if p.NAME == 'transform_points_to_voxels':
             p.MAX_NUMBER_OF_VOXELS = {'train': 1000, 'test': 1000}
-            p.VOXEL_SIZE = [0.2, 0.2, 0.1]
+            # pillar models need nz == 1 (full z extent in one voxel)
+            p.VOXEL_SIZE = [0.2, 0.2, z_extent if pillar else 0.1]
         if p.NAME == 'sample_points':
             p.NUM_POINTS = {'train': 2048, 'test': 2048}
     if 'BACKBONE_3D' in c.MODEL and c.MODEL.BACKBONE_3D.NAME == 'PointNet2MSG':
@@ -49,6 +53,11 @@ def shrink(c):
     'tools/cfgs/kitti_models/pointrcnn_iou.yaml',
     'tools/cfgs/kitti_models/second_multihead.yaml',
     'tools/cfgs/kitti_models/PartA2_free.yaml',
+    'tools/cfgs/livox_models/pointpillar.yaml',
+    'tools/cfgs/livox_models/pv_rcnn.yaml',
+    'tools/cfgs/mix_data_models/pointpillars_xy.yaml',
+    'tools/cfgs/mix_data_models/pv_rcnn_xy.yaml',
+    'tools/cfgs/nuscenes_models/cbgs_second_multihead.yaml',
 ])
 def test_variant_one_train_step(cfg_file):
     cfg = shrink(cfg_from_yaml_file(cfg_file))

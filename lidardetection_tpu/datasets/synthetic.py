@@ -85,6 +85,11 @@ class SyntheticDataset(DatasetTemplate):
         rng = np.random.RandomState(self.seed * 100003 + index)
         points, gt_boxes, gt_names = make_scene(
             rng, self.point_cloud_range, class_names=self.class_names)
+        if self.dataset_cfg.get('PRED_VELOCITY', False):
+            # velocity-coded gt (NuScenes layout [..., ry, vx, vy]); the
+            # 9-dim ResidualCoder needs these columns present
+            vel = (rng.randn(len(gt_boxes), 2) * 2.0).astype(np.float32)
+            gt_boxes = np.concatenate([gt_boxes, vel], axis=1)
         data_dict = {
             'points': points,
             'gt_boxes': gt_boxes,

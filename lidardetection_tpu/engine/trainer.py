@@ -18,7 +18,8 @@ from ..utils.optimization import build_optimizer
 
 def train_model(model, variables, loader, optim_cfg, total_epochs, ckpt_dir,
                 logger, mesh=None, start_epoch=0, max_ckpt_save_num=30,
-                log_interval=20, tb_writer=None, lr_sched=None, state=None):
+                log_interval=20, tb_writer=None, lr_sched=None, state=None,
+                profile_dir=None, profile_steps=(10, 15)):
     iters_per_epoch = len(loader)
     if state is None:
         tx, lr_sched = build_optimizer(optim_cfg, iters_per_epoch, total_epochs)
@@ -31,15 +32,37 @@ def train_model(model, variables, loader, optim_cfg, total_epochs, ckpt_dir,
 
     step_fn = make_train_step(model, mesh=mesh)
 
+    # jax.profiler trace of a few steady-state steps (the reference has no
+    # profiler at all, SURVEY §5; traces are viewable in xprof/tensorboard)
+    prof_start, prof_stop = profile_steps if profile_dir else (-1, -1)
+    if profile_dir:
+        # clamp the window into the run (tiny smoke runs still get a trace)
+        total_steps = (total_epochs - start_epoch) * iters_per_epoch
+        prof_stop = min(prof_stop, total_steps)
+        prof_start = min(prof_start, max(prof_stop - 2, 0))
+    profiling = False
+
     for epoch in range(start_epoch, total_epochs):
         loader.set_epoch(epoch)
         t_epoch = time.time()
         losses = []
         for it, batch in enumerate(loader):
+            global_it = (epoch - start_epoch) * iters_per_epoch + it
+            if global_it == prof_start:
+                jax.block_until_ready(state.params)
+                jax.profiler.start_trace(profile_dir)
+                profiling = True
+                logger.info('profiler: tracing steps %d-%d to %s',
+                            prof_start, prof_stop, profile_dir)
             db = device_batch(batch)
             if mesh is not None:
                 db = shard_batch(db, mesh)
             state, tb = step_fn(state, db)
+            if profiling and global_it + 1 == prof_stop:
+                jax.block_until_ready(state.params)
+                jax.profiler.stop_trace()
+                profiling = False
+                prof_start = -1
             if it % log_interval == 0:
                 loss = float(tb['loss'])
                 losses.append(loss)
@@ -49,6 +72,10 @@ def train_model(model, variables, loader, optim_cfg, total_epochs, ckpt_dir,
                 if tb_writer is not None:
                     for k, v in tb.items():
                         tb_writer.add_scalar(f'train/{k}', float(v), int(state.step))
+        if profiling:  # profile window ran past the data (tiny epochs)
+            jax.block_until_ready(state.params)
+            jax.profiler.stop_trace()
+            profiling, prof_start = False, -1
         logger.info('epoch %d done in %.1fs (mean logged loss %.4f)',
                     epoch, time.time() - t_epoch,
                     np.mean(losses) if losses else float('nan'))

@@ -119,7 +119,6 @@ class AnchorHeadSingle(nn.Module):
         fused = x.astype(cdt) @ jnp.concatenate(ws, 1).astype(cdt) \
             + jnp.concatenate(bs).astype(cdt)  # (B, H, W, na*tot)
         h, w = fused.shape[1], fused.shape[2]
-        packed = fused.reshape(b, h * w * na, tot)
         out = dict(batch)
         need_unpacked = training or self.predict_boxes_when_training
         if need_unpacked:
@@ -192,17 +191,19 @@ class AnchorHeadSingle(nn.Module):
             if not training and not self.predict_boxes_when_training:
                 # Single-stage eval: defer the (B, N_anchors) box decode so
                 # post_processing can decode only the top-k candidate rows
-                # (exactly equal results — decode is per-row). Raw preds are
-                # already packed per-anchor (see the fused matmul above) so
-                # post_processing does a single wide row gather, and anchors
-                # are reconstructed arithmetically (the dense grid is
-                # separable: xy from the position index, the rest from an
-                # (na, code-2) table) instead of gathering 7-wide f32 rows.
-                out['batch_cls_preds'] = packed[..., :nc]  # compute dtype;
-                # post re-computes f32 scores on the gathered top-k rows
+                # (exactly equal results — decode is per-row). Raw preds
+                # stay in the BEV-native (B, H, W, na*tot) layout — a
+                # (B, N, tot) repack would be a full-tensor lane shuffle
+                # whose 18-lane minor dim pads to 128 on TPU (~7x the HBM
+                # bytes). post_processing selects top pixels (lane-reduce
+                # rank), gathers their na*tot rows, and reconstructs
+                # anchors arithmetically (the dense grid is separable: xy
+                # from the position index, the rest from an (na, code-2)
+                # table) instead of gathering 7-wide f32 rows.
                 nz, ny, nx = (int(v) for v in info['feature_map_size'])
-                out['batch_head_raw'] = packed
+                out['batch_fused_preds'] = fused
                 out['head_raw_sizes'] = (nc, code, nd)
+                out['head_layout'] = (h, w, na)
 
                 fa = info['flat_anchors']  # numpy (N, code)
                 ar = fa.reshape(nz * ny, nx, na, fa.shape[-1])
@@ -237,8 +238,8 @@ class AnchorHeadSingle(nn.Module):
                 box_raw = box_preds.reshape(b, -1, code)
                 dir_raw = dir_preds.reshape(b, -1, self.num_dir_bins) \
                     if self.use_dir else None
-                out['batch_cls_preds'] = \
-                    packed[..., :nc].astype(jnp.float32)
+                out['batch_cls_preds'] = fused.reshape(
+                    b, h * w * na, tot)[..., :nc].astype(jnp.float32)
                 out['batch_box_preds'] = decode_boxes(
                     box_raw, dir_raw, anchors[None])
             out['cls_preds_normalized'] = False

@@ -31,7 +31,6 @@ def post_processing(batch, post_cfg, num_class):
         return _multi_class_post_processing(batch, post_cfg, num_class)
 
     score_thresh = post_cfg.get('SCORE_THRESH', None)
-    cls_raw = batch['batch_cls_preds']
     normalized = batch.get('cls_preds_normalized', False)
 
     if 'roi_labels' in batch:
@@ -43,42 +42,73 @@ def post_processing(batch, post_cfg, num_class):
 
     from ...core.iou3d import nms_bev_batched, nms_normal_bev
 
-    valid = batch.get('batch_valid_preds')
-    if valid is None:
-        valid = jnp.ones(cls_raw.shape[:2], dtype=bool)
-
     if 'decode_box_fn' in batch:
         # Deferred decode (single-stage eval): rank candidates on the RAW
         # logits (sigmoid is monotonic) in the head's compute dtype, select
         # the top NMS_PRE_MAXSIZE rows, and only then upcast + sigmoid +
-        # decode those rows — same results as decoding all anchors, ~80x
-        # less decode/cast work for PointPillar grids. Raw preds come
-        # packed per-anchor (batch_head_raw) so one wide gather fetches
-        # cls+box+dir together; anchors are reconstructed from idx.
-        packed = batch['batch_head_raw']  # (B, N, nc+code+nd)
+        # decode those rows. Selection is two-level and BEV-layout-native:
+        # a lane-reduce computes each PIXEL's best logit over all its
+        # anchors*classes (one streaming pass over the (B, H, W, na*tot)
+        # head output), an approx top-k picks the best pixels, and only
+        # those pixels' full rows are gathered and exactly re-ranked. A
+        # per-anchor repack of the whole grid would shuffle every lane and
+        # pad tot=18 lanes to 128 — ~7x the HBM traffic of this pass.
+        fused = batch['batch_fused_preds']  # (B, H, W, na*tot)
         nc, code, nd = batch['head_raw_sizes']
-        rank = packed[..., :nc].max(axis=-1).astype(jnp.float32)  # (B, N)
-        if score_thresh is not None:
-            thr = float(score_thresh) if normalized else \
-                float(np.log(score_thresh / (1.0 - score_thresh)))
-            valid = valid & (rank >= thr)
-        pre = min(int(nms_cfg['NMS_PRE_MAXSIZE']), rank.shape[1])
-        masked = jnp.where(valid, rank, -jnp.inf)
-        if masked.shape[0] == 1:
+        h, w, na = batch['head_layout']
+        tot = nc + code + nd
+        bsz, hw = fused.shape[0], h * w
+        flat = fused.reshape(bsz, hw, na * tot)  # layout-preserving (w%8==0)
+        valid = batch.get('batch_valid_preds')
+
+        lane_is_cls = np.zeros((na * tot,), bool)
+        for a in range(na):
+            lane_is_cls[a * tot:a * tot + nc] = True
+        neg = jnp.asarray(-jnp.inf, fused.dtype)
+        pix_rank = jnp.max(
+            jnp.where(jnp.asarray(lane_is_cls), flat, neg),
+            axis=-1).astype(jnp.float32)  # (B, hw)
+
+        pre = min(int(nms_cfg['NMS_PRE_MAXSIZE']), hw * na)
+        n_pix = -(-pre // na)
+        n_pix = min(((n_pix + 127) // 128) * 128, hw)
+        if n_pix >= hw:
+            pix_i = jnp.broadcast_to(
+                jnp.arange(hw, dtype=jnp.int32)[None], (bsz, hw))
+        elif pix_rank.shape[0] == 1:
             # top_k on a (1, N) f32 operand crashes the XLA:TPU compiler
             # (fusion_util TransformWindow check failure, observed on v5e);
             # the squeezed 1-D form compiles fine
-            top_s, top_i = jax.lax.top_k(masked[0], pre)
-            top_s, top_i = top_s[None], top_i[None]
-        elif nms_cfg.get('EXACT_TOPK', False) or pre >= rank.shape[1]:
-            top_s, top_i = jax.lax.top_k(masked, pre)
+            _, pix_i = jax.lax.top_k(pix_rank[0], n_pix)
+            pix_i = pix_i[None]
+        elif nms_cfg.get('EXACT_TOPK', False):
+            _, pix_i = jax.lax.top_k(pix_rank, n_pix)
         else:
-            # TPU-native approximate top-k (7x faster than exact at this
-            # size); recall 0.99 over candidates far beyond what survives
-            # NMS — AP-neutral. Set NMS_CONFIG.EXACT_TOPK for exact.
-            top_s, top_i = jax.lax.approx_max_k(
-                masked, pre, recall_target=0.99)
-        rows = jnp.take_along_axis(packed, top_i[..., None], axis=1)
+            # TPU-native approximate top-k; recall 0.99 over pixels far
+            # beyond what survives NMS — AP-neutral. Set
+            # NMS_CONFIG.EXACT_TOPK for exact pixel selection.
+            _, pix_i = jax.lax.approx_max_k(
+                pix_rank, n_pix, recall_target=0.99)
+        rows_pix = jnp.take_along_axis(flat, pix_i[..., None], axis=1)
+        cand = rows_pix.reshape(bsz, -1, tot)  # (B, n_pix*na, tot)
+        cand_i = (pix_i[:, :, None] * na
+                  + jnp.arange(na, dtype=jnp.int32)[None, None, :]
+                  ).reshape(bsz, -1)  # global anchor ids, head row order
+
+        cand_rank = cand[..., :nc].max(axis=-1).astype(jnp.float32)
+        cand_valid = jnp.ones_like(cand_rank, bool)
+        if valid is not None:
+            cand_valid &= jnp.take_along_axis(valid, cand_i, axis=1)
+        if score_thresh is not None:
+            thr = float(score_thresh) if normalized else \
+                float(np.log(score_thresh / (1.0 - score_thresh)))
+            cand_valid &= cand_rank >= thr
+        masked = jnp.where(cand_valid, cand_rank, -jnp.inf)
+        # exact final ranking over the (small) candidate pool
+        top_s, sel = jax.lax.top_k(masked, min(pre, masked.shape[1]))
+        rows = jnp.take_along_axis(cand, sel[..., None], axis=1)
+        top_i = jnp.take_along_axis(cand_i, sel, axis=1)
+
         cls_rows = rows[..., :nc].astype(jnp.float32)
         probs = cls_rows if normalized else jax.nn.sigmoid(cls_rows)
         scores = probs.max(axis=-1)
@@ -94,6 +124,10 @@ def post_processing(batch, post_cfg, num_class):
         valid = jnp.isfinite(top_s)
         scores = jnp.where(valid, scores, 0.0)
     else:
+        cls_raw = batch['batch_cls_preds']
+        valid = batch.get('batch_valid_preds')
+        if valid is None:
+            valid = jnp.ones(cls_raw.shape[:2], dtype=bool)
         box_preds = batch['batch_box_preds']
         cls_preds = cls_raw if normalized else jax.nn.sigmoid(cls_raw)
         scores = cls_preds.max(axis=-1)  # (B, N)
@@ -109,7 +143,10 @@ def post_processing(batch, post_cfg, num_class):
             box_preds[..., 0:7], scores,
             thresh=nms_cfg['NMS_THRESH'],
             pre_maxsize=int(nms_cfg['NMS_PRE_MAXSIZE']),
-            post_maxsize=post, valid_mask=valid)
+            post_maxsize=post, valid_mask=valid,
+            # deferred-decode candidates come straight out of a top-k, so
+            # they already descend by score — skip the in-NMS re-sort
+            assume_sorted='decode_box_fn' in batch)
     else:
         idx, mask, num = jax.vmap(
             lambda b, s, v: nms_normal_bev(

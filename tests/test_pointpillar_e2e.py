@@ -65,12 +65,12 @@ def test_forward_shapes(cfg, data, model_and_vars):
     assert out['spatial_features'].shape == (2, 496, 432, 64)
     assert out['spatial_features_2d'].shape == (2, 248, 216, 384)
     a = 248 * 216 * 6
-    assert out['batch_cls_preds'].shape == (2, a, 3)
     # single-stage eval defers box decode to post_processing (top-k rows
-    # only): raw preds packed per-anchor, anchors reconstructed from idx
+    # only): raw preds stay BEV-native, anchors reconstructed from idx
     nc, code, nd = out['head_raw_sizes']
     assert (nc, code, nd) == (3, 7, 2)
-    assert out['batch_head_raw'].shape == (2, a, nc + code + nd)
+    assert out['head_layout'] == (248, 216, 6)
+    assert out['batch_fused_preds'].shape == (2, 248, 216, 6 * (nc + code + nd))
     idx = jnp.asarray(
         np.random.RandomState(0).randint(0, a, (2, 8)).astype(np.int32))
     anchors = out['anchor_from_idx'](idx)
@@ -85,9 +85,10 @@ def test_forward_shapes(cfg, data, model_and_vars):
     np.testing.assert_allclose(np.asarray(anchors),
                                info['flat_anchors'][np.asarray(idx)],
                                rtol=1e-6)
+    packed = out['batch_fused_preds'].reshape(2, a, nc + code + nd)
     decoded = out['decode_box_fn'](
-        out['batch_head_raw'][:, :8, nc:nc + code],
-        out['batch_head_raw'][:, :8, nc + code:], anchors)
+        packed[:, :8, nc:nc + code],
+        packed[:, :8, nc + code:], anchors)
     assert decoded.shape == (2, 8, 7)
 
 

@@ -50,8 +50,8 @@ def test_forward_shapes(cfg, setup):
     # grid 352x400x40 -> sparse D=41 -> z chain 41/21/11/5/2, stride-8
     assert out['encoded_spconv_tensor'].shape == (1, 2, 50, 44, 128)
     assert out['spatial_features'].shape == (1, 50, 44, 256)
-    a = 50 * 44 * 6
-    assert out['batch_cls_preds'].shape == (1, a, 3)
+    nc, code, nd = out['head_raw_sizes']
+    assert out['batch_fused_preds'].shape == (1, 50, 44, 6 * (nc + code + nd))
 
 
 def test_train_step_loss_decreases(cfg, setup):

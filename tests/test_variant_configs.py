@@ -21,13 +21,18 @@ def shrink(c):
         del c.DATA_CONFIG.DATA_AUGMENTOR
     c.DATA_CONFIG.MAX_POINTS = 2048
     pillar = c.MODEL.get('MAP_TO_BEV', {}).get('NAME') == 'PointPillarScatter'
-    z_extent = float(c.DATA_CONFIG.POINT_CLOUD_RANGE[5]
-                     - c.DATA_CONFIG.POINT_CLOUD_RANGE[2])
+    pcr = c.DATA_CONFIG.POINT_CLOUD_RANGE
+    z_extent = float(pcr[5] - pcr[2])
+    # grid dims must stay divisible by the BEV backbone's total stride so
+    # stride-2 convs round-trip with the x2 upsamples (real grids are even;
+    # e.g. the livox 95.5 m x-extent / 0.2 would give an odd 478-wide grid)
+    vx = (pcr[3] - pcr[0]) / 64.0
+    vy = (pcr[4] - pcr[1]) / 64.0
     for p in c.DATA_CONFIG.DATA_PROCESSOR:
         if p.NAME == 'transform_points_to_voxels':
             p.MAX_NUMBER_OF_VOXELS = {'train': 1000, 'test': 1000}
             # pillar models need nz == 1 (full z extent in one voxel)
-            p.VOXEL_SIZE = [0.2, 0.2, z_extent if pillar else 0.1]
+            p.VOXEL_SIZE = [vx, vy, z_extent if pillar else 0.1]
         if p.NAME == 'sample_points':
             p.NUM_POINTS = {'train': 2048, 'test': 2048}
     if 'BACKBONE_3D' in c.MODEL and c.MODEL.BACKBONE_3D.NAME == 'PointNet2MSG':

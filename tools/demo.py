@@ -79,8 +79,24 @@ def main():
             cfg.DATA_CONFIG, cfg.CLASS_NAMES, batch_size=1, training=False,
             num_scenes=args.num_scenes)
     else:
-        raise SystemExit('folder input requires a KITTI-format dir; '
-                         'use --synthetic for a self-contained demo')
+        # folder-of-clouds mode (tools/demo.py:16-47): feed raw .bin/.npy
+        # files through the eval-side prepare_data pipeline
+        from lidardetection_tpu.datasets.dataset import DatasetTemplate
+        template = DatasetTemplate(cfg.DATA_CONFIG, cfg.CLASS_NAMES,
+                                   training=False, root_path=args.data_path,
+                                   logger=logger)
+        demo_set = DemoDataset(template, args.data_path, ext=args.ext)
+        if not len(demo_set):
+            raise SystemExit(f'no *{args.ext} files under {args.data_path}')
+
+        class _Loader:
+            dataset = template
+
+            def __iter__(self):
+                for i in range(len(demo_set)):
+                    yield DatasetTemplate.collate_batch([demo_set[i]])
+
+        dataset, loader = template, _Loader()
 
     logger.info('devices: %s', jax.devices())
     model = build_network(cfg.MODEL, len(cfg.CLASS_NAMES), cfg.CLASS_NAMES,

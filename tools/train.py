@@ -28,6 +28,9 @@ def parse_config():
     parser.add_argument('--num_scenes', type=int, default=64)
     parser.add_argument('--cpu', action='store_true')
     parser.add_argument('--no_eval', action='store_true')
+    parser.add_argument('--profile', action='store_true',
+                        help='jax.profiler trace of steps 10-15 into '
+                             '<output_dir>/profile (view with xprof)')
     args = parser.parse_args()
 
     from lidardetection_tpu.config import cfg, cfg_from_list, cfg_from_yaml_file
@@ -87,7 +90,9 @@ def main():
     mesh = make_mesh() if n_dev > 1 else None
     state = train_model(model, variables, loader, cfg.OPTIMIZATION, epochs,
                         str(ckpt_dir), logger, mesh=mesh,
-                        max_ckpt_save_num=args.max_ckpt_save_num)
+                        max_ckpt_save_num=args.max_ckpt_save_num,
+                        profile_dir=str(output_dir / 'profile')
+                        if args.profile else None)
 
     if not args.no_eval:
         test_set, test_loader = build_dataloader(

@@ -341,12 +341,28 @@ def _blocked_greedy_nms_batched(boxes, scores, valid, thresh, post_maxsize,
         iou_blk = iou_blocks_fn(blk_boxes, blk_boxes)  # (B, m, m)
         sup = iou_blk > thresh  # sup[b, j, i]: j suppresses i
         # ordered greedy closure: keep[i] iff valid and no kept j<i overlaps;
-        # keep[j] for j<i is final when step i runs, so this is exact greedy
-        keep = blk_valid
-        for i in range(1, m):
-            sup_i = jnp.any(keep & sup[:, :, i] & (midx < i)[None, :], axis=1)
-            keep = keep & ((midx != i)[None, :] | ~sup_i[:, None])
-        keep = keep & active[:, None]
+        # keep[j] for j<i is final when step i runs, so this is exact
+        # greedy. Grouped evaluation keeps the sequential-latency chain
+        # short: per group one batched prefix reduce + a fully-fusible
+        # boolean expansion of the within-group triangle (a flat m-step
+        # chain of tiny ops was latency-bound on TPU).
+        grp = 8
+        keep_cols = []
+        for g0 in range(0, m, grp):
+            gw = min(grp, m - g0)
+            if g0:
+                prefix = jnp.stack(keep_cols, axis=1)  # (B, g0)
+                inc = jnp.any(prefix[:, :, None] & sup[:, :g0, g0:g0 + gw],
+                              axis=1)  # (B, gw)
+            else:
+                inc = jnp.zeros((b, gw), bool)
+            for t in range(gw):
+                i = g0 + t
+                s = inc[:, t]
+                for u in range(t):
+                    s = s | (keep_cols[g0 + u] & sup[:, g0 + u, i])
+                keep_cols.append(blk_valid[:, i] & ~s)
+        keep = jnp.stack(keep_cols, axis=1) & active[:, None]
         ordinal = jnp.cumsum(keep.astype(jnp.int32), axis=1) - 1  # per-kept
         commit = keep & (count[:, None] + ordinal < post_maxsize)
         # greedy keeps candidates in score order, and ranks are score order,
@@ -369,12 +385,14 @@ def _blocked_greedy_nms_batched(boxes, scores, valid, thresh, post_maxsize,
     kept0 = jnp.zeros((b, n), bool)
     _, kept, num_kept = jax.lax.while_loop(
         cond, body, (live0, kept0, jnp.zeros((b,), jnp.int32)))
-    # extract kept ranks ascending (== commit order) into fixed post size
-    rank_scores = jnp.where(kept, -jnp.arange(n, dtype=jnp.float32)[None, :],
-                            -jnp.inf)
+    # extract kept ranks ascending (== commit order) into fixed post size:
+    # position-of-jth-set-bit via cumsum+equality (cheaper than a top_k
+    # sort over ranks)
+    ord_ = jnp.cumsum(kept.astype(jnp.int32), axis=1)
     p = min(post_maxsize, n)
-    _, out_idx = jax.lax.top_k(rank_scores, p)
-    out_idx = out_idx.astype(jnp.int32)
+    eq = kept[:, :, None] & (
+        ord_[:, :, None] == (jnp.arange(p, dtype=jnp.int32) + 1)[None, None, :])
+    out_idx = jnp.argmax(eq, axis=1).astype(jnp.int32)  # (B, p)
     if p < post_maxsize:
         out_idx = jnp.pad(out_idx, ((0, 0), (0, post_maxsize - p)))
     mask = jnp.arange(post_maxsize)[None, :] < num_kept[:, None]

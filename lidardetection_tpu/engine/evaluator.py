@@ -2,10 +2,10 @@
 
 Batches run through the jitted eval step; per-sample prediction dicts are
 gathered on host and handed to dataset.evaluation (the dataset-specific
-official metric). The reference's filesystem pickle all-gather
-(common_utils.py:206-227) is unnecessary: under a data mesh every host sees
-the full (globally-addressed) output arrays; multi-process setups use
-jax.experimental.multihost_utils.process_allgather instead.
+official metric). Eval needs no cross-sample collectives, so under a
+multi-process run each process evaluates its loader shard on its LOCAL
+devices and results merge through the filesystem all-gather
+(parallel.dist.merge_results_dist, mirroring common_utils.py:206-227).
 """
 
 import pickle
@@ -15,7 +15,8 @@ from pathlib import Path
 import jax
 import numpy as np
 
-from ..parallel.mesh import shard_batch
+from ..parallel.dist import is_main_process, merge_results_dist
+from ..parallel.mesh import make_mesh, shard_batch
 from ..parallel.train_step import device_batch, make_eval_step
 
 
@@ -23,6 +24,12 @@ def eval_one_epoch(model, variables, loader, post_cfg, class_names, logger,
                    mesh=None, result_dir=None, save_to_file=False):
     dataset = loader.dataset
     num_class = len(class_names)
+    world = jax.process_count()
+    if world > 1 and mesh is not None:
+        # per-process local mesh: eval is embarrassingly parallel and the
+        # batch's host-side metadata (frame ids, calib) is process-local
+        local = jax.local_devices()
+        mesh = make_mesh(local) if len(local) > 1 else None
     step_fn = make_eval_step(model, post_cfg, num_class, mesh=mesh)
 
     det_annos = []
@@ -46,6 +53,18 @@ def eval_one_epoch(model, variables, loader, post_cfg, class_names, logger,
 
     sec_per_example = (time.time() - t0) / max(n_samples, 1)
     logger.info('eval: %d samples, %.4f sec/example', n_samples, sec_per_example)
+
+    if world > 1:
+        tmpdir = Path(result_dir or '/tmp/lidardetection_eval') / 'tmpdir'
+        det_annos = merge_results_dist(det_annos, len(dataset), str(tmpdir))
+        recall_items = sorted(recall_totals.items())
+        merged = merge_results_dist([recall_items], world, str(tmpdir / 'recall'))
+        if not is_main_process():
+            return {}, []
+        recall_totals = {}
+        for items in merged:
+            for k, v in items:
+                recall_totals[k] = recall_totals.get(k, 0) + v
 
     ret_dict = {}
     gt = max(recall_totals.get('gt', 0), 1)

@@ -10,6 +10,7 @@ import time
 import jax
 import numpy as np
 
+from ..parallel.dist import is_main_process, shard_batch_multihost
 from ..parallel.mesh import shard_batch
 from ..parallel.train_step import TrainState, device_batch, make_train_step
 from ..utils.checkpoint import latest_checkpoint, restore_checkpoint, save_checkpoint
@@ -19,7 +20,7 @@ from ..utils.optimization import build_optimizer
 def train_model(model, variables, loader, optim_cfg, total_epochs, ckpt_dir,
                 logger, mesh=None, start_epoch=0, max_ckpt_save_num=30,
                 log_interval=20, tb_writer=None, lr_sched=None, state=None,
-                profile_dir=None, profile_steps=(10, 15)):
+                profile_dir=None, profile_steps=(10, 15), multihost=False):
     iters_per_epoch = len(loader)
     if state is None:
         tx, lr_sched = build_optimizer(optim_cfg, iters_per_epoch, total_epochs)
@@ -56,7 +57,8 @@ def train_model(model, variables, loader, optim_cfg, total_epochs, ckpt_dir,
                             prof_start, prof_stop, profile_dir)
             db = device_batch(batch)
             if mesh is not None:
-                db = shard_batch(db, mesh)
+                db = shard_batch_multihost(db, mesh) if multihost \
+                    else shard_batch(db, mesh)
             state, tb = step_fn(state, db)
             if profiling and global_it + 1 == prof_stop:
                 jax.block_until_ready(state.params)
@@ -79,7 +81,7 @@ def train_model(model, variables, loader, optim_cfg, total_epochs, ckpt_dir,
         logger.info('epoch %d done in %.1fs (mean logged loss %.4f)',
                     epoch, time.time() - t_epoch,
                     np.mean(losses) if losses else float('nan'))
-        if ckpt_dir:
+        if ckpt_dir and is_main_process():
             save_checkpoint(state, ckpt_dir, epoch + 1,
                             max_ckpt_save_num=max_ckpt_save_num, logger=logger)
     return state

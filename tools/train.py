@@ -31,6 +31,15 @@ def parse_config():
     parser.add_argument('--profile', action='store_true',
                         help='jax.profiler trace of steps 10-15 into '
                              '<output_dir>/profile (view with xprof)')
+    parser.add_argument('--multihost', action='store_true',
+                        help='join a multi-process run via '
+                             'jax.distributed.initialize (TPU pods '
+                             'auto-detect topology; run one process per '
+                             'host, e.g. tools/scripts/train_tpu_pod.sh)')
+    parser.add_argument('--dist_coordinator', type=str, default=None,
+                        help='coordinator addr:port (only needed off-TPU)')
+    parser.add_argument('--dist_nprocs', type=int, default=None)
+    parser.add_argument('--dist_rank', type=int, default=None)
     args = parser.parse_args()
 
     from lidardetection_tpu.config import cfg, cfg_from_list, cfg_from_yaml_file
@@ -47,6 +56,13 @@ def main():
         jax.config.update('jax_platforms', 'cpu')
     import jax
 
+    from lidardetection_tpu.parallel.dist import init_distributed, is_main_process
+    if args.multihost or args.dist_coordinator:
+        rank, world = init_distributed(args.dist_coordinator,
+                                       args.dist_nprocs, args.dist_rank)
+    else:
+        rank, world = 0, 1
+
     from lidardetection_tpu.datasets import build_dataloader
     from lidardetection_tpu.engine.evaluator import eval_one_epoch
     from lidardetection_tpu.engine.trainer import train_model
@@ -56,9 +72,10 @@ def main():
     from lidardetection_tpu.utils.common import create_logger, set_random_seed
 
     set_random_seed(42)
-    n_dev = len(jax.devices())
+    n_dev = len(jax.devices())  # global device count
     batch_size = args.batch_size or cfg.OPTIMIZATION.BATCH_SIZE_PER_GPU * n_dev
-    assert batch_size % n_dev == 0
+    assert batch_size % n_dev == 0 and batch_size % world == 0
+    local_batch = batch_size // world  # this process's loader share
     epochs = args.epochs or cfg.OPTIMIZATION.NUM_EPOCHS
 
     output_dir = Path('output') / cfg.EXP_GROUP_PATH / cfg.TAG / args.extra_tag
@@ -77,8 +94,9 @@ def main():
         extra = {}
 
     dataset, loader = build_dataloader(
-        cfg.DATA_CONFIG, cfg.CLASS_NAMES, batch_size=batch_size, training=True,
-        logger=logger, workers=args.workers, **extra)
+        cfg.DATA_CONFIG, cfg.CLASS_NAMES, batch_size=local_batch,
+        training=True, logger=logger, workers=args.workers,
+        num_shards=world, shard_id=rank, **extra)
     model = build_network(cfg.MODEL, len(cfg.CLASS_NAMES), cfg.CLASS_NAMES,
                           dataset.dataset_info)
     batch0 = next(iter(loader))
@@ -92,12 +110,13 @@ def main():
                         str(ckpt_dir), logger, mesh=mesh,
                         max_ckpt_save_num=args.max_ckpt_save_num,
                         profile_dir=str(output_dir / 'profile')
-                        if args.profile else None)
+                        if args.profile else None, multihost=world > 1)
 
     if not args.no_eval:
         test_set, test_loader = build_dataloader(
-            cfg.DATA_CONFIG, cfg.CLASS_NAMES, batch_size=batch_size,
-            training=False, logger=logger, **extra)
+            cfg.DATA_CONFIG, cfg.CLASS_NAMES, batch_size=local_batch,
+            training=False, logger=logger, num_shards=world, shard_id=rank,
+            **extra)
         variables = {'params': state.params, 'batch_stats': state.batch_stats}
         eval_one_epoch(model, variables, test_loader, cfg.MODEL.POST_PROCESSING,
                        cfg.CLASS_NAMES, logger, mesh=mesh,

@@ -35,13 +35,18 @@ def roipoint_pool3d(points, point_features, point_num, rois, roi_valid,
         inside = points_in_boxes_3d(pts, boxes[:, :7])  # (N, R)
         inside = inside & pvalid[:, None] & bvalid[None, :]
         inside = inside.T  # (R, N)
-        rank = jnp.cumsum(inside, axis=1) - 1
-        r = boxes.shape[0]
-        slot = jnp.where(inside & (rank < s), rank, s)
-        idx = jnp.zeros((r, s + 1), jnp.int32)
-        cols = jnp.broadcast_to(jnp.arange(nn, dtype=jnp.int32)[None, :], (r, nn))
-        idx = idx.at[jnp.arange(r)[:, None], slot].set(cols)[:, :s]
-        cnt = jnp.minimum(rank[:, -1] + 1, s)
+        # first `s` in-RoI points in index order via row-wise top_k of
+        # (-col where inside) — scatter-free (XLA:TPU scatters serialize)
+        score = jnp.where(inside,
+                          -jnp.arange(nn, dtype=jnp.float32)[None, :],
+                          -jnp.inf)
+        top, _ = jax.lax.top_k(score, min(s, nn))  # (R, <=s) descending
+        if nn < s:  # fewer points than sample slots: pad with misses
+            top = jnp.pad(top, ((0, 0), (0, s - nn)),
+                          constant_values=-jnp.inf)
+        hit = jnp.isfinite(top)
+        idx = jnp.where(hit, (-top).astype(jnp.int32), 0)
+        cnt = hit.sum(axis=1)
         empty = cnt <= 0
         # repeat pattern: slot k >= cnt takes slot k % cnt (cuda modulo dup)
         k = jnp.arange(s)[None, :]

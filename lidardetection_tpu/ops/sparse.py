@@ -74,9 +74,14 @@ def _lookup_rows(sorted_keys, query_keys, sentinel):
     """Row index of each query key in sorted_keys, or `miss_row` = len(keys).
 
     sorted_keys: (V,) ascending with sentinel-padded tail; query (Q,).
+
+    method='sort' turns the lookup into ONE argsort of (V + Q) keys —
+    pure bitonic vector passes — instead of binary search, whose log2(V)
+    sequential rounds each gather Q table elements (measured 117 ms per
+    (16k-table, 432k-query) lookup on v5e vs ~1 ms for the sort).
     """
     v = sorted_keys.shape[0]
-    pos = jnp.searchsorted(sorted_keys, query_keys)
+    pos = jnp.searchsorted(sorted_keys, query_keys, method='sort')
     pos = jnp.clip(pos, 0, v - 1)
     hit = (sorted_keys[pos] == query_keys) & (query_keys < sentinel)
     return jnp.where(hit, pos, v).astype(jnp.int32)
@@ -193,11 +198,17 @@ def build_strided_out_coords(st: SparseTensor, kernel_size, stride, padding,
         skeys = jnp.sort(keys)
         is_new = (skeys < sentinel) & jnp.concatenate(
             [jnp.array([True]), skeys[1:] != skeys[:-1]])
-        uid = jnp.cumsum(is_new) - 1
         n_unique = jnp.sum(is_new)
-        slot = jnp.where(is_new & (uid < out_capacity), uid, out_capacity)
-        out_keys = jnp.full((out_capacity + 1,), sentinel, jnp.int32)
-        out_keys = out_keys.at[slot].set(skeys.astype(jnp.int32))[:out_capacity]
+        # j-th unique key sits at the first position where
+        # cumsum(is_new) == j+1 — a sorted-search gather instead of a
+        # scatter (XLA:TPU scatters serialize per element; this one cost
+        # ~900 ms per conv layer at KITTI capacities)
+        cum = jnp.cumsum(is_new.astype(jnp.int32))
+        pos = jnp.searchsorted(
+            cum, jnp.arange(1, out_capacity + 1, dtype=jnp.int32))
+        pos = jnp.clip(pos, 0, skeys.shape[0] - 1)
+        out_keys = jnp.where(jnp.arange(out_capacity) < n_unique,
+                             skeys[pos].astype(jnp.int32), sentinel)
         oz = out_keys // (oh * ow)
         oyx = out_keys % (oh * ow)
         out_coords = jnp.stack([oz, oyx // ow, oyx % ow], axis=-1)

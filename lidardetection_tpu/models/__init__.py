@@ -19,6 +19,9 @@ def build_network(model_cfg, num_class, class_names, dataset_info, axis_name=Non
     known = {'PointPillar', 'SECONDNet', 'PointRCNN', 'PartA2Net', 'PVRCNN'}
     if name not in known:
         raise KeyError(f'unknown detector {name}')
+    if 'BALL_QUERY_APPROX_RECALL' in model_cfg:
+        from ..ops.pointnet2 import set_ball_query_recall
+        set_ball_query_recall(model_cfg['BALL_QUERY_APPROX_RECALL'])
     return Detector3D(
         model_cfg=model_cfg, num_class=num_class, class_names=tuple(class_names),
         dataset_info=dataset_info, axis_name=axis_name)

@@ -15,6 +15,19 @@ from ...core.iou3d import boxes_iou3d
 from ..model_utils import nms_utils
 
 
+def _safe_top_k(x, k):
+    """top_k over the last axis of a (B, N) operand.
+
+    top_k on a (1, N) f32 operand crashes the XLA:TPU compiler (fusion_util
+    TransformWindow check failure, observed on v5e); the squeezed 1-D form
+    compiles fine, so batch-1 operands are routed through it.
+    """
+    if x.ndim == 2 and x.shape[0] == 1:
+        vals, idx = jax.lax.top_k(x[0], k)
+        return vals[None], idx[None]
+    return jax.lax.top_k(x, k)
+
+
 def post_processing(batch, post_cfg, num_class):
     """Args:
         batch: dict with batch_box_preds (B, N, 7+C), batch_cls_preds
@@ -70,23 +83,25 @@ def post_processing(batch, post_cfg, num_class):
             axis=-1).astype(jnp.float32)  # (B, hw)
 
         pre = min(int(nms_cfg['NMS_PRE_MAXSIZE']), hw * na)
-        n_pix = -(-pre // na)
-        n_pix = min(((n_pix + 127) // 128) * 128, hw)
+        if nms_cfg.get('EXACT_TOPK', False):
+            # Selecting the top `pre` PIXELS (ranked by their best anchor)
+            # and re-ranking all their anchors is provably exact: if anchor
+            # a's pixel is outside the top-pre pixels, then >= pre pixels
+            # each hold an anchor outscoring a, so a cannot be in the true
+            # top-pre anchor set. Costs a wider gather (pre*na rows).
+            n_pix = min(((pre + 127) // 128) * 128, hw)
+        else:
+            n_pix = -(-pre // na)
+            n_pix = min(((n_pix + 127) // 128) * 128, hw)
         if n_pix >= hw:
             pix_i = jnp.broadcast_to(
                 jnp.arange(hw, dtype=jnp.int32)[None], (bsz, hw))
-        elif pix_rank.shape[0] == 1:
-            # top_k on a (1, N) f32 operand crashes the XLA:TPU compiler
-            # (fusion_util TransformWindow check failure, observed on v5e);
-            # the squeezed 1-D form compiles fine
-            _, pix_i = jax.lax.top_k(pix_rank[0], n_pix)
-            pix_i = pix_i[None]
-        elif nms_cfg.get('EXACT_TOPK', False):
-            _, pix_i = jax.lax.top_k(pix_rank, n_pix)
+        elif pix_rank.shape[0] == 1 or nms_cfg.get('EXACT_TOPK', False):
+            _, pix_i = _safe_top_k(pix_rank, n_pix)
         else:
             # TPU-native approximate top-k; recall 0.99 over pixels far
             # beyond what survives NMS — AP-neutral. Set
-            # NMS_CONFIG.EXACT_TOPK for exact pixel selection.
+            # NMS_CONFIG.EXACT_TOPK for exact top-NMS_PRE_MAXSIZE selection.
             _, pix_i = jax.lax.approx_max_k(
                 pix_rank, n_pix, recall_target=0.99)
         rows_pix = jnp.take_along_axis(flat, pix_i[..., None], axis=1)
@@ -105,7 +120,7 @@ def post_processing(batch, post_cfg, num_class):
             cand_valid &= cand_rank >= thr
         masked = jnp.where(cand_valid, cand_rank, -jnp.inf)
         # exact final ranking over the (small) candidate pool
-        top_s, sel = jax.lax.top_k(masked, min(pre, masked.shape[1]))
+        top_s, sel = _safe_top_k(masked, min(pre, masked.shape[1]))
         rows = jnp.take_along_axis(cand, sel[..., None], axis=1)
         top_i = jnp.take_along_axis(cand_i, sel, axis=1)
 

@@ -18,6 +18,16 @@ import jax.numpy as jnp
 
 _BIG = 1e10
 
+# TPU ball-query top-k recall target; None = exact top_k everywhere.
+# Configured per-model via MODEL.BALL_QUERY_APPROX_RECALL (build_network).
+BALL_QUERY_APPROX_RECALL = 0.95
+
+
+def set_ball_query_recall(recall):
+    """Set the TPU approx ball-query recall target (None = exact)."""
+    global BALL_QUERY_APPROX_RECALL
+    BALL_QUERY_APPROX_RECALL = recall
+
 
 def _pairwise_d2(a, b):
     """Squared distances (M, N) between (M, 3) and (N, 3) points.
@@ -101,14 +111,22 @@ def ball_query(radius, nsample, xyz, xyz_num, new_xyz, new_xyz_valid=None):
         # hundreds of ms at VSA shapes)
         score = jnp.where(mask, -jnp.arange(nn, dtype=jnp.float32)[None, :],
                           -jnp.inf)
-        if nsample < nn and jax.default_backend() == 'tpu':
+        recall = BALL_QUERY_APPROX_RECALL
+        if nsample < nn and recall is not None \
+                and jax.default_backend() == 'tpu':
             # TPU PartialReduce top-k (~6x cheaper than the sort-based
-            # exact lowering at VSA shapes). Recall < 1 only changes WHICH
-            # in-radius neighbors fill the group — the reference's
-            # index-order subset is equally arbitrary (CPU stays exact so
-            # golden tests match the CUDA semantics bit-for-bit).
+            # exact lowering at VSA shapes). CAVEAT: recall < 1 is only
+            # harmless when a center has MORE than nsample in-radius hits
+            # (it then changes which of the surplus fills the group — as
+            # arbitrary as the reference's index order). When a center has
+            # <= nsample hits, approx_max_k can drop true neighbors
+            # outright (slots then repeat the first hit), diverging from
+            # the CUDA semantics — disable via set_ball_query_recall(None)
+            # or cfg MODEL.BALL_QUERY_APPROX_RECALL: null to get the exact
+            # path (CPU is always exact, so golden tests match the CUDA
+            # semantics bit-for-bit).
             top, _ = jax.lax.approx_max_k(score, nsample,
-                                          recall_target=0.95)
+                                          recall_target=recall)
         else:
             top, _ = jax.lax.top_k(score, min(nsample, nn))
         if nn < nsample:  # fewer sources than sample slots

@@ -94,4 +94,8 @@ def merge_results_dist(result_part, size, tmpdir):
     ordered = []
     for res in zip(*part_list):
         ordered.extend(res)
+    # remove the part files (common_utils.py:227 shutil.rmtree): a later run
+    # with fewer processes must not read stale parts
+    import shutil
+    shutil.rmtree(tmpdir, ignore_errors=True)
     return ordered[:size]

@@ -55,18 +55,24 @@ def main():
     @jax.jit
     def chain(params, stats, db, n):
         # run the whole timed loop on device: each iteration depends on the
-        # previous via a scalar carry (so XLA cannot elide or overlap work),
-        # and the host pays ONE dispatch + ONE scalar fetch. Per-iteration
-        # host dispatch through the axon tunnel costs ~30 ms and would
-        # measure the relay, not the chip.
-        def body(_, carry):
-            dbi = {**db, 'voxels': db['voxels'] + carry * 1e-12}
+        # previous via the carry (so XLA cannot elide or overlap work), and
+        # the host pays ONE dispatch + ONE scalar fetch. Per-iteration host
+        # dispatch through the axon tunnel costs ~30 ms and would measure
+        # the relay, not the chip. Voxels ride the loop carry and are
+        # perturbed with a single-element update — a full `voxels + carry`
+        # materialized a fresh 168 MB array every iteration (~0.5 ms of
+        # HBM traffic measured on v5e, charged to the model unfairly).
+        def body(_, state):
+            vox, carry = state
+            vox = vox.at[0, 0, 0, 3].add(carry * 1e-12)
             out = model.apply({'params': params, 'batch_stats': stats},
-                              dbi, training=False)
+                              {**db, 'voxels': vox}, training=False)
             preds = post_processing(out, post_cfg, num_class)
-            return preds['pred_scores'].reshape(-1)[0]
+            return vox, preds['pred_scores'].reshape(-1)[0]
 
-        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+        _, out = jax.lax.fori_loop(
+            0, n, body, (db['voxels'], jnp.float32(0.0)))
+        return out
 
     _ = float(chain(params, stats, db, 2))  # warmup / compile
     iters = 50

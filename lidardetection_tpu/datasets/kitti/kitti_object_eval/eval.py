@@ -494,3 +494,81 @@ def get_official_eval_result(gt_annos, dt_annos, current_classes,
                 ret_dict[f'{name}_3d/hard'] = mAP3d[j, 2, 0]
 
     return result, ret_dict
+
+
+# COCO-style eval: AP averaged over a per-class range of IoU thresholds
+# (reference eval.py:621-637 do_coco_style_eval, :723-811
+# get_coco_eval_result).
+CLASS_TO_COCO_RANGE = {
+    0: [0.5, 0.95, 10],   # Car
+    1: [0.25, 0.7, 10],   # Pedestrian
+    2: [0.25, 0.7, 10],   # Cyclist
+    3: [0.5, 0.95, 10],   # Van
+    4: [0.25, 0.7, 10],   # Person_sitting
+}
+
+
+def do_coco_style_eval(gt_annos, dt_annos, current_classes, overlap_ranges,
+                       compute_aos):
+    """overlap_ranges: (3, metric, class) linspace args (start, stop, num).
+
+    Evaluates at the 10 linspaced thresholds per (metric, class) and means
+    the 11-point APs over the threshold axis (eval.py:621-637).
+    """
+    min_overlaps = np.zeros([10, *overlap_ranges.shape[1:]])
+    for i in range(overlap_ranges.shape[1]):
+        for j in range(overlap_ranges.shape[2]):
+            start, stop, num = overlap_ranges[:, i, j]
+            min_overlaps[:, i, j] = np.linspace(start, stop, int(num))
+    (mAP_bbox, mAP_bev, mAP_3d, mAP_aos, _, _, _, _) = do_eval(
+        gt_annos, dt_annos, current_classes, min_overlaps, compute_aos)
+    # shape (num_class, num_difficulty, num_minoverlap) -> mean over overlaps
+    mAP_bbox = mAP_bbox.mean(-1)
+    mAP_bev = mAP_bev.mean(-1)
+    mAP_3d = mAP_3d.mean(-1)
+    if mAP_aos is not None:
+        mAP_aos = mAP_aos.mean(-1)
+    return mAP_bbox, mAP_bev, mAP_3d, mAP_aos
+
+
+def get_coco_eval_result(gt_annos, dt_annos, current_classes):
+    """(eval.py:723-811)."""
+    name_to_class = {v: n for n, v in CLASS_TO_NAME.items()}
+    if not isinstance(current_classes, (list, tuple)):
+        current_classes = [current_classes]
+    current_classes = [name_to_class[c] if isinstance(c, str) else int(c)
+                       for c in current_classes]
+    overlap_ranges = np.zeros([3, 3, len(current_classes)])
+    for i, curcls in enumerate(current_classes):
+        overlap_ranges[:, :, i] = np.array(
+            CLASS_TO_COCO_RANGE[curcls])[:, np.newaxis]
+    compute_aos = False
+    for anno in dt_annos:
+        if anno['alpha'].shape[0] != 0:
+            if anno['alpha'][0] != -10:
+                compute_aos = True
+            break
+    mAPbbox, mAPbev, mAP3d, mAPaos = do_coco_style_eval(
+        gt_annos, dt_annos, current_classes, overlap_ranges, compute_aos)
+    result = ''
+    for j, curcls in enumerate(current_classes):
+        name = CLASS_TO_NAME[curcls]
+        o_range = np.array(CLASS_TO_COCO_RANGE[curcls])[[0, 2, 1]]
+        o_range[1] = (o_range[2] - o_range[0]) / (o_range[1] - 1)
+        result += print_str(
+            f'{name} coco AP@{o_range[0]:.2f}:{o_range[1]:.2f}:'
+            f'{o_range[2]:.2f}:')
+        result += print_str(
+            f'bbox AP:{mAPbbox[j, 0]:.2f}, {mAPbbox[j, 1]:.2f}, '
+            f'{mAPbbox[j, 2]:.2f}')
+        result += print_str(
+            f'bev  AP:{mAPbev[j, 0]:.2f}, {mAPbev[j, 1]:.2f}, '
+            f'{mAPbev[j, 2]:.2f}')
+        result += print_str(
+            f'3d   AP:{mAP3d[j, 0]:.2f}, {mAP3d[j, 1]:.2f}, '
+            f'{mAP3d[j, 2]:.2f}')
+        if compute_aos:
+            result += print_str(
+                f'aos  AP:{mAPaos[j, 0]:.2f}, {mAPaos[j, 1]:.2f}, '
+                f'{mAPaos[j, 2]:.2f}')
+    return result

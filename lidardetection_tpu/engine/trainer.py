@@ -72,6 +72,10 @@ def train_model(model, variables, loader, optim_cfg, total_epochs, ckpt_dir,
                 logger.info('epoch %d it %d/%d loss %.4f lr %.2e',
                             epoch, it, iters_per_epoch, loss, cur_lr)
                 if tb_writer is not None:
+                    # reference logs train/loss + meta_data/learning_rate
+                    # (train_utils.py:54-58)
+                    tb_writer.add_scalar('meta_data/learning_rate', cur_lr,
+                                         int(state.step))
                     for k, v in tb.items():
                         tb_writer.add_scalar(f'train/{k}', float(v), int(state.step))
         if profiling:  # profile window ran past the data (tiny epochs)

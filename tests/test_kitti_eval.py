@@ -107,3 +107,35 @@ def test_d3_overlap_half_height():
     o = keval.d3_box_overlap(a, b)
     # extents [-1,1] and [0,2]: overlap 1 of height 2 -> vol iou = A/2 / (A*3/2) = 1/3
     np.testing.assert_allclose(o, [[1.0 / 3.0]], atol=1e-4)
+
+
+def test_coco_eval_perfect_detection():
+    """COCO-style AP (eval.py:723-811): perfect dets -> 100 at every
+    threshold in the range, so the threshold-mean is also 100."""
+    gt, dt = [], []
+    for i in range(30):
+        boxes = [_cam_box(i * 2.0, 10.0 + i), _cam_box(-5.0 + i, 20.0)]
+        gt.append(_anno(['Car', 'Car'], boxes))
+        dt.append(_anno(['Car', 'Car'], boxes,
+                        scores=[0.9 - 0.002 * i, 0.8 - 0.002 * i]))
+    result = keval.get_coco_eval_result(gt, dt, ['Car'])
+    assert 'coco AP@0.50:0.05:0.95' in result
+    # parse the "3d   AP:a, b, c" line
+    line = [ln for ln in result.splitlines() if ln.startswith('3d')][0]
+    vals = [float(v) for v in line.split('AP:')[1].split(',')]
+    assert all(abs(v - 100.0) < 1e-6 for v in vals), result
+
+
+def test_coco_eval_imperfect_below_official():
+    """Slightly offset boxes pass IoU 0.5 but fail the strictest COCO
+    thresholds -> mean over thresholds < 100."""
+    gt, dt = [], []
+    for i in range(30):
+        gt.append(_anno(['Car'], [_cam_box(i * 2.0, 10.0)]))
+        # shift x by 0.55m: IoU ~ (4-0.55)/(4+0.55) ~ 0.76 for l=4 boxes
+        dt.append(_anno(['Car'], [_cam_box(i * 2.0 + 0.55, 10.0)],
+                        scores=[0.9 - 0.002 * i]))
+    result = keval.get_coco_eval_result(gt, dt, ['Car'])
+    line = [ln for ln in result.splitlines() if ln.startswith('3d')][0]
+    moderate = float(line.split('AP:')[1].split(',')[1])
+    assert 0.0 < moderate < 100.0, result

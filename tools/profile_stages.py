@@ -59,7 +59,15 @@ def main():
     post_cfg = cfg.MODEL.POST_PROCESSING
     num_class = len(cfg.CLASS_NAMES)
 
+    input_keys = set(db.keys())
+
     def leaf_scalar(tree):
+        # only stage OUTPUTS feed the carry: summing the pass-through input
+        # arrays (voxels alone is 168 MB) would charge an extra HBM pass
+        # over the whole batch to every stage
+        if isinstance(tree, dict):
+            tree = {k: v for k, v in tree.items()
+                    if k not in input_keys and not callable(v)}
         tot = jnp.float32(0.0)
         for leaf in jax.tree_util.tree_leaves(tree):
             if hasattr(leaf, 'dtype') and jnp.issubdtype(leaf.dtype, jnp.floating):
@@ -78,14 +86,20 @@ def main():
 
         @jax.jit
         def chain(params, stats, db, n):
-            def body(_, carry):
-                dbi = {**db, 'voxels': db['voxels'] + carry}
+            # voxels ride the carry with a 1-element perturbation: a full
+            # `voxels + carry` would charge a 168 MB copy to every stage
+            def body(_, state):
+                vox, carry = state
+                vox = vox.at[0, 0, 0, 3].add(carry)
                 out = model.apply({'params': params, 'batch_stats': stats},
-                                  dbi, training=False, method=run)
+                                  {**db, 'voxels': vox}, training=False,
+                                  method=run)
                 if with_post:
                     out = post_processing(out, post_cfg, num_class)
-                return leaf_scalar(out)
-            return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+                return vox, leaf_scalar(out)
+            _, out = jax.lax.fori_loop(
+                0, n, body, (db['voxels'], jnp.float32(0.0)))
+            return out
         return chain
 
     stages = [(f'{i}:{order[i-1]}', prefix_fn(i)) for i in range(1, len(order) + 1)]

@@ -28,6 +28,10 @@ def parse_config():
     parser.add_argument('--num_scenes', type=int, default=64)
     parser.add_argument('--cpu', action='store_true')
     parser.add_argument('--no_eval', action='store_true')
+    parser.add_argument('--num_epochs_to_eval', type=int, default=10,
+                        help='after training, also evaluate the checkpoints '
+                             'of the last N epochs (reference '
+                             'tools/train.py:186-192 repeat_eval_ckpt)')
     parser.add_argument('--profile', action='store_true',
                         help='jax.profiler trace of steps 10-15 into '
                              '<output_dir>/profile (view with xprof)')
@@ -105,10 +109,19 @@ def main():
     n_params = sum(x.size for x in jax.tree.leaves(variables['params']))
     logger.info('model %s: %.2fM params', cfg.MODEL.NAME, n_params / 1e6)
 
+    tb_writer = None
+    if is_main_process():
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+            tb_writer = SummaryWriter(log_dir=str(output_dir / 'tensorboard'))
+        except ImportError:
+            logger.info('tensorboard writer unavailable; scalars not logged')
+
     mesh = make_mesh() if n_dev > 1 else None
     state = train_model(model, variables, loader, cfg.OPTIMIZATION, epochs,
                         str(ckpt_dir), logger, mesh=mesh,
                         max_ckpt_save_num=args.max_ckpt_save_num,
+                        tb_writer=tb_writer,
                         profile_dir=str(output_dir / 'profile')
                         if args.profile else None, multihost=world > 1)
 
@@ -118,9 +131,45 @@ def main():
             training=False, logger=logger, num_shards=world, shard_id=rank,
             **extra)
         variables = {'params': state.params, 'batch_stats': state.batch_stats}
-        eval_one_epoch(model, variables, test_loader, cfg.MODEL.POST_PROCESSING,
-                       cfg.CLASS_NAMES, logger, mesh=mesh,
-                       result_dir=str(output_dir / 'eval'))
+        result = eval_one_epoch(
+            model, variables, test_loader, cfg.MODEL.POST_PROCESSING,
+            cfg.CLASS_NAMES, logger, mesh=mesh,
+            result_dir=str(output_dir / 'eval'))
+        if tb_writer is not None and isinstance(result, dict):
+            for k, v in result.items():
+                if isinstance(v, (int, float)):
+                    tb_writer.add_scalar(f'eval/{k}', v, int(state.step))
+
+        # repeat_eval_ckpt: evaluate the saved checkpoints of the last N-1
+        # earlier epochs too (the final state was just evaluated above);
+        # mirrors the reference's post-training eval of the last 10 epochs
+        # (tools/train.py:186-192, test.py:85-131).
+        if args.num_epochs_to_eval > 1:
+            import glob as _glob
+            import re as _re
+
+            import optax
+
+            from lidardetection_tpu.parallel.train_step import TrainState
+            from lidardetection_tpu.utils.checkpoint import restore_checkpoint
+            ckpts = sorted(
+                _glob.glob(str(ckpt_dir / 'checkpoint_epoch_*')),
+                key=lambda f: int(_re.findall(r'checkpoint_epoch_(\d+)', f)[0]))
+            for ckpt_path in ckpts[-args.num_epochs_to_eval:-1]:
+                ep = _re.findall(r'checkpoint_epoch_(\d+)', ckpt_path)[0]
+                logger.info('repeat-eval: %s', ckpt_path)
+                tmpl = TrainState.create(variables['params'],
+                                         variables['batch_stats'],
+                                         optax.identity())
+                st, _ = restore_checkpoint(ckpt_path, tmpl, logger)
+                eval_one_epoch(
+                    model,
+                    {'params': st.params, 'batch_stats': st.batch_stats},
+                    test_loader, cfg.MODEL.POST_PROCESSING, cfg.CLASS_NAMES,
+                    logger, mesh=mesh,
+                    result_dir=str(output_dir / 'eval' / f'epoch_{ep}'))
+    if tb_writer is not None:
+        tb_writer.close()
 
 
 if __name__ == '__main__':

@@ -75,12 +75,19 @@ def main():
         return out
 
     _ = float(chain(params, stats, db, 2))  # warmup / compile
-    iters = 50
+    # slope timing: the axon relay costs ~30 ms per dispatch+fetch round
+    # trip, so time two iteration counts and difference them — a single
+    # 50-iter run would over-charge each batch ~0.6 ms
+    n1, n2 = 20, 80
     t0 = time.perf_counter()
-    _ = float(chain(params, stats, db, iters))
-    dt = time.perf_counter() - t0
+    _ = float(chain(params, stats, db, n1))
+    t1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    _ = float(chain(params, stats, db, n2))
+    t2 = time.perf_counter() - t0
+    dt = (t2 - t1) / (n2 - n1)
 
-    scans_per_sec = iters * batch_size / dt
+    scans_per_sec = batch_size / dt
     print(json.dumps({
         'metric': 'pointpillar_scans_per_sec_per_chip',
         'value': round(scans_per_sec, 2),

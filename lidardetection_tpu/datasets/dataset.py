@@ -147,4 +147,4 @@ class DatasetTemplate:
     def array_batch_keys(self):
         """Keys forwarded to the device step."""
         return ['voxels', 'voxel_coords', 'voxel_num_points', 'num_voxels',
-                'points', 'num_points', 'gt_boxes']
+                'points', 'num_points', 'gt_boxes', 'bev_tile_starts']

@@ -30,7 +30,9 @@ class PointPillarScatter(nn.Module):
         # padding rows sit at the tail and key to the ny*nx sentinel
         keys = jnp.where(valid, coords[..., 1] * nx + coords[..., 2],
                          ny * nx).astype(jnp.int32)
-        canvas = scatter_rows_sorted(feats, keys, ny * nx)  # (B, ny*nx, C)
+        canvas = scatter_rows_sorted(
+            feats, keys, ny * nx,
+            batch.get('bev_tile_starts'))  # (B, ny*nx, C)
         spatial = canvas.reshape(feats.shape[0], ny, nx, feats.shape[-1])
         return {**batch, 'spatial_features': spatial}
 

@@ -8,7 +8,15 @@ framework's sorted-voxel-table contract (ops/voxelize.py): with rows sorted
 by linear key, the rows landing in any TILE-slot canvas tile form a
 contiguous range [starts[t], starts[t+1]) (cumulative key histogram), so
 each grid step builds its tiles with VMEM one-hot matmuls on the MXU — no
-scatter at all.
+scatter at all. One-hot MXU work scales with the 2*TILE row window per
+tile, so TILE is kept small (128 = one MXU M-tile, measured ~1.5x faster
+than 256; predicating the window down to one TILE-row chunk per tile was
+tried and lost — 13k scalar branches cost more than the dots they saved).
+
+The tile ranges (`starts`) are a pure function of the host-known voxel
+table, so the input pipeline computes them with np.searchsorted
+(host_tile_starts, attached to the batch as 'bev_tile_starts') — the
+on-device fallback costs ~0.6 ms/batch at KITTI eval shapes, host is ~free.
 
 Gradient: scatter's transpose is a row gather, done in plain XLA.
 
@@ -22,26 +30,42 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-TILE = 256  # one-hot window is 2*TILE wide, so VPU compare work per canvas
-            # slot scales with TILE; 256 beat 128/512/1024 on v5e
+TILE = 128  # canvas slots per one-hot matmul; the row window is 2*TILE wide
 
 K_TILES = 16  # canvas tiles per grid step (amortises per-step overhead)
 
 
-def _tile_starts(keys, n_tiles, tile):
-    """starts[i] = #keys < i*tile for i in [0, n_tiles].
+def n_tiles_padded(n_slots, tile=TILE, k_tiles=K_TILES):
+    """Number of TILE-slot tiles, padded to a whole number of grid steps."""
+    kt = k_tiles * tile
+    return -(-n_slots // kt) * k_tiles
 
-    Keys ascend per sample (sentinel rows key past the last tile), so this
-    is a searchsorted of the tile boundaries — computed as a dense
-    compare-and-count reduction: a (n_tiles+1, V) bool matrix summed over V
-    rides the VPU in one streaming pass (~0.2 ms at KITTI eval shapes)
-    where the previous one-hot `.at[].add` histogram serialized in XLA's
-    scatter lowering (~3 ms measured on v5e)."""
+
+def host_tile_starts(keys_sorted, n_slots, tile=TILE, k_tiles=K_TILES):
+    """starts[i] = #keys < i*tile, computed host-side at collate time.
+
+    Args:
+        keys_sorted: (V,) int array, ascending; padding rows keyed exactly
+            n_slots at the tail (the sorted-voxel-table contract).
+        n_slots: canvas slot count.
+    Returns (n_tiles+1,) int32 with the same padding semantics as the
+    on-device `_tile_starts` (sentinel rows count into the tiles past
+    n_slots, which the kernel writes into the masked-off canvas pad).
+    """
+    nt = n_tiles_padded(n_slots, tile, k_tiles)
+    bounds = np.arange(nt + 1, dtype=np.int64) * tile
+    return np.searchsorted(keys_sorted, bounds, side='left').astype(np.int32)
+
+
+def _tile_starts(keys, n_tiles, tile):
+    """Device fallback for starts[i] = #keys < i*tile.
+
+    Dense compare-and-count reduction: a (n_tiles+1, V) bool matrix summed
+    over V on the VPU (~0.6 ms/batch at KITTI eval shapes — prefer the host
+    path)."""
     bounds = jnp.arange(n_tiles + 1, dtype=jnp.int32) * tile  # (T+1,)
 
     def one(k):
-        # counts[i] = sum_j (k[j] < bounds[i]); chunk V to bound the bool
-        # matrix at ~ (T+1, 8192) per step (fits fusion, no HBM blowup)
         v = k.shape[0]
         chunk = 8192
         pad = (-v) % chunk
@@ -101,7 +125,8 @@ def _tile_kernel(starts_ref, keys_a, keys_b, feats_a, feats_b, out_ref,
         out_ref[0, j * TILE:(j + 1) * TILE, :] = acc.astype(out_ref.dtype)
 
 
-def _scatter_pallas(feats, keys, n_slots, tile=TILE, k_tiles=K_TILES):
+def _scatter_pallas(feats, keys, n_slots, starts=None, tile=TILE,
+                    k_tiles=K_TILES):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -120,7 +145,11 @@ def _scatter_pallas(feats, keys, n_slots, tile=TILE, k_tiles=K_TILES):
 
     t_steps = -(-n_slots // kt)
     n_tiles = t_steps * K_TILES
-    starts = _tile_starts(keys, n_tiles, TILE)
+    if starts is None:
+        starts = _tile_starts(keys, n_tiles, TILE)
+    else:
+        starts = starts.astype(jnp.int32)
+        assert starts.shape == (b, n_tiles + 1), (starts.shape, n_tiles)
 
     def blk(bi, ti, s, off):
         return s[bi, ti * K_TILES] // kt + off
@@ -167,24 +196,26 @@ def _scatter_invmap(feats, keys, n_slots):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def scatter_rows_sorted(feats, keys, n_slots):
+def scatter_rows_sorted(feats, keys, n_slots, starts=None):
     """Scatter (B, V, C) rows to (B, n_slots, C) by per-sample keys.
 
     Contract: keys int32, ascending per sample (sorted-voxel-table), unique
     among valid rows, with invalid/padding rows keyed exactly `n_slots` and
-    placed at the tail. Invalid rows produce zeros.
+    placed at the tail. Invalid rows produce zeros. `starts` is the optional
+    host-precomputed (B, n_tiles+1) tile histogram (host_tile_starts);
+    without it a ~0.6 ms/batch device fallback runs.
     """
-    return _scatter_fwd_impl(feats, keys, n_slots)
+    return _scatter_fwd_impl(feats, keys, n_slots, starts)
 
 
-def _scatter_fwd_impl(feats, keys, n_slots):
+def _scatter_fwd_impl(feats, keys, n_slots, starts=None):
     if jax.devices()[0].platform == 'tpu':
-        return _scatter_pallas(feats, keys, n_slots)
+        return _scatter_pallas(feats, keys, n_slots, starts)
     return _scatter_invmap(feats, keys, n_slots)
 
 
-def _scatter_fwd(feats, keys, n_slots):
-    return _scatter_fwd_impl(feats, keys, n_slots), keys
+def _scatter_fwd(feats, keys, n_slots, starts=None):
+    return _scatter_fwd_impl(feats, keys, n_slots, starts), keys
 
 
 def _scatter_bwd(n_slots, keys, g):
@@ -193,7 +224,7 @@ def _scatter_bwd(n_slots, keys, g):
     g_ext = jnp.concatenate(
         [g, jnp.zeros(g.shape[:1] + (1,) + g.shape[2:], g.dtype)], axis=1)
     dfeats = jnp.take_along_axis(g_ext, keys[..., None], axis=1)
-    return dfeats, None
+    return dfeats, None, None
 
 
 scatter_rows_sorted.defvjp(_scatter_fwd, _scatter_bwd)

@@ -39,7 +39,8 @@ class TrainState(struct.PyTreeNode):
 
 
 DEVICE_KEYS = ('voxels', 'voxel_coords', 'voxel_num_points', 'num_voxels',
-               'points', 'num_points', 'gt_boxes', 'locations', 'rotations_y')
+               'points', 'num_points', 'gt_boxes', 'locations', 'rotations_y',
+               'bev_tile_starts')
 
 
 def device_batch(batch):

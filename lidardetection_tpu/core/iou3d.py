@@ -128,6 +128,25 @@ def _clipped_edges_contribution(pa1, pa2, nb, cb, second_pass=False):
     return jnp.sum(jnp.where(valid, cross, 0.0), axis=-1)
 
 
+def _box_clip_parts(boxes):
+    """Per-box clipping quantities: (corners (..., 4, 2), normals (..., 4, 2),
+    offsets (..., 4)). Precompute ONCE per candidate set — the trig +
+    stacking here dominated the per-iteration cost of the NMS while-loop
+    when recomputed for all N boxes every block step."""
+    return (corners_bev(boxes),) + _rect_halfplanes(boxes)
+
+
+def _pair_overlap_parts(parts_a, parts_b):
+    """Intersection area from precomputed `_box_clip_parts` (broadcastable
+    on the leading dims)."""
+    ca, na, caa = parts_a
+    cb, nb, cbb = parts_b
+    contrib_a = _clipped_edges_contribution(ca, jnp.roll(ca, -1, axis=-2), nb, cbb)
+    contrib_b = _clipped_edges_contribution(cb, jnp.roll(cb, -1, axis=-2), na, caa,
+                                            second_pass=True)
+    return jnp.abs(contrib_a + contrib_b) / 2
+
+
 def _pair_overlap_bev(boxes_a, boxes_b):
     """Intersection area of two rotated BEV rectangles (broadcastable).
 
@@ -143,14 +162,8 @@ def _pair_overlap_bev(boxes_a, boxes_b):
     transcendentals — which is what makes this formulation fast on the VPU
     (~400 flops/pair, ~6 temporaries).
     """
-    ca = corners_bev(boxes_a)  # (..., 4, 2)
-    cb = corners_bev(boxes_b)
-    na, caa = _rect_halfplanes(boxes_a)
-    nb, cbb = _rect_halfplanes(boxes_b)
-    contrib_a = _clipped_edges_contribution(ca, jnp.roll(ca, -1, axis=-2), nb, cbb)
-    contrib_b = _clipped_edges_contribution(cb, jnp.roll(cb, -1, axis=-2), na, caa,
-                                            second_pass=True)
-    return jnp.abs(contrib_a + contrib_b) / 2
+    return _pair_overlap_parts(_box_clip_parts(boxes_a),
+                               _box_clip_parts(boxes_b))
 
 
 def boxes_overlap_bev(boxes_a, boxes_b, row_chunk=None):
@@ -290,8 +303,114 @@ def _lazy_greedy_nms_batched(boxes, scores, valid, thresh, post_maxsize,
     return out_idx, num_kept
 
 
+def _lane_parts(boxes):
+    """Lanes-major per-box quantities for `_overlap_blocks_lanes`.
+
+    Args: boxes (..., 7). Returns dict of (...,) component arrays — no
+    trailing geometry dims, so the N axis stays minor on TPU (the stacked
+    (..., 4, 2)/(..., 4, 4) intermediates of `_pair_overlap_parts` tile as
+    (8, 128) pads on their tiny minor dims — measured ~7x slower inside the
+    NMS loop than this component-wise form).
+    """
+    x, y = boxes[..., 0], boxes[..., 1]
+    hx, hy = boxes[..., 3] / 2, boxes[..., 4] / 2
+    c, s = jnp.cos(boxes[..., 6]), jnp.sin(boxes[..., 6])
+    # corner order matches corners_bev: template (+,+),(+,-),(-,-),(-,+)
+    # times (dx, dy)/2... actually template is (.5,.5),(.5,-.5),(-.5,-.5),(-.5,.5)
+    cx, cy = [], []
+    for tx, ty in ((1, 1), (1, -1), (-1, -1), (-1, 1)):
+        lx, ly = tx * hx, ty * hy
+        cx.append(lx * c - ly * s + x)
+        cy.append(lx * s + ly * c + y)
+    return {
+        'x': x, 'y': y, 'hx': hx, 'hy': hy, 'c': c, 's': s,
+        'pu': c * x + s * y,    # center projected on box u axis
+        'pv': -s * x + c * y,   # center projected on box v axis
+        'cx': cx, 'cy': cy,     # 4 corner components each
+        'area': boxes[..., 3] * boxes[..., 4],
+    }
+
+
+def _clip_edges_lanes(ax1, ay1, ax2, ay2, planes, second_pass=False):
+    """Shoelace contribution of edges (a1->a2) clipped against 4 half-planes.
+
+    Args:
+        ax1..ay2: broadcastable edge endpoint components (already expanded
+            to the output shape, e.g. (B, m, 1) vs (B, 1, N)).
+        planes: list of 4 tuples (nx, ny, off) — inside iff n.p <= off.
+    Returns the summed cross-product contribution (same semantics as
+    `_clipped_edges_contribution`, component-wise dataflow).
+    """
+    total = None
+    for e in range(4):
+        p1x, p1y = ax1[e], ay1[e]
+        dx_, dy_ = ax2[e] - p1x, ay2[e] - p1y
+        len_d = jnp.sqrt(dx_ * dx_ + dy_ * dy_)
+        t_lo = None
+        t_hi = None
+        reject = None
+        for nx_, ny_, off in planes:
+            nd = nx_ * dx_ + ny_ * dy_
+            nf = nx_ * p1x + ny_ * p1y - off
+            is_par = jnp.abs(nd) <= _PAR_TOL * len_d
+            t_at = -nf / jnp.where(is_par, 1.0, nd)
+            lo_k = jnp.where(~is_par & (nd < 0), t_at, 0.0)
+            hi_k = jnp.where(~is_par & (nd > 0), t_at, 1.0)
+            rej_k = is_par & (nf > _TIE_TOL)
+            if second_pass:
+                same_dir = (dx_ * ny_ - dy_ * nx_) > 0
+                rej_k = rej_k | (is_par & (jnp.abs(nf) <= _TIE_TOL) & same_dir)
+            t_lo = lo_k if t_lo is None else jnp.maximum(t_lo, lo_k)
+            t_hi = hi_k if t_hi is None else jnp.minimum(t_hi, hi_k)
+            reject = rej_k if reject is None else (reject | rej_k)
+        t0 = jnp.maximum(t_lo, 0.0)
+        t1 = jnp.minimum(t_hi, 1.0)
+        valid = (t1 > t0) & ~reject
+        p0x, p0y = p1x + t0 * dx_, p1y + t0 * dy_
+        q1x, q1y = p1x + t1 * dx_, p1y + t1 * dy_
+        cross = p0x * q1y - p0y * q1x
+        contrib = jnp.where(valid, cross, 0.0)
+        total = contrib if total is None else total + contrib
+    return total
+
+
+def _planes_of(p, expand):
+    """4 half-planes (nx, ny, off) from `_lane_parts`, expanded via fn."""
+    c, s = expand(p['c']), expand(p['s'])
+    pu, pv = expand(p['pu']), expand(p['pv'])
+    hx, hy = expand(p['hx']), expand(p['hy'])
+    return [(c, s, pu + hx), (-c, -s, -pu + hx),
+            (-s, c, pv + hy), (s, -c, -pv + hy)]
+
+
+def _overlap_blocks_lanes(blk_parts, all_parts):
+    """Rotated-rectangle intersection area, block vs all: (B, m, N).
+
+    blk_parts/all_parts: `_lane_parts` of (B, m, 7) and (B, N, 7) boxes.
+    Same clipping semantics as `_pair_overlap_parts` (A-edges pass then
+    B-edges second pass), with every intermediate shaped (B, m, N) — the
+    minor axis is N, so the whole chain vectorizes on TPU lanes.
+    """
+    eb = lambda v: v[:, :, None]   # blk (B, m) -> (B, m, 1)
+    ea = lambda v: v[:, None, :]   # all (B, N) -> (B, 1, N)
+
+    # pass 1: blk edges vs all's planes
+    bx = [eb(v) for v in blk_parts['cx']]
+    by = [eb(v) for v in blk_parts['cy']]
+    contrib_a = _clip_edges_lanes(
+        bx, by, bx[1:] + bx[:1], by[1:] + by[:1],
+        _planes_of(all_parts, ea))
+    # pass 2: all's edges vs blk planes (boundary-coincidence tie rules)
+    axc = [ea(v) for v in all_parts['cx']]
+    ayc = [ea(v) for v in all_parts['cy']]
+    contrib_b = _clip_edges_lanes(
+        axc, ayc, axc[1:] + axc[:1], ayc[1:] + ayc[:1],
+        _planes_of(blk_parts, eb), second_pass=True)
+    return jnp.abs(contrib_a + contrib_b) / 2
+
+
 def _blocked_greedy_nms_batched(boxes, scores, valid, thresh, post_maxsize,
-                                iou_blocks_fn, block=32):
+                                block=32):
     """Batched blocked greedy NMS: exact greedy semantics, ~block x fewer
     sequential iterations than `_lazy_greedy_nms_batched`.
 
@@ -304,9 +423,12 @@ def _blocked_greedy_nms_batched(boxes, scores, valid, thresh, post_maxsize,
     (iou3d_nms_kernel.cu:267-313) — there a thread block resolves 64
     candidates per step; here the closure rides one VPU fusion.
 
+    Per-box clipping geometry (corners, half-planes, areas — all the trig)
+    is computed ONCE for the whole candidate set before the loop; each
+    iteration only gathers the m block rows and runs the pure pair kernel.
+
     Args:
-        boxes (B, N, 7); scores (B, N); valid (B, N);
-        iou_blocks_fn(blk (B, m, 7), boxes (B, N, 7)) -> (B, m, N) IoU.
+        boxes (B, N, 7); scores (B, N); valid (B, N).
     Returns:
         out_idx (B, post_maxsize) int32, num_kept (B,) int32.
 
@@ -320,6 +442,18 @@ def _blocked_greedy_nms_batched(boxes, scores, valid, thresh, post_maxsize,
     neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
     live0 = valid & (scores > neg_inf)  # sorted order == score order
     midx = jnp.arange(m)
+
+    all_parts = _lane_parts(boxes)  # dict of (B, N) component arrays
+
+    def gather_parts(idx):  # idx (B, m) -> blk lane parts
+        g = lambda x: jnp.take_along_axis(x, idx, axis=1)
+        return jax.tree_util.tree_map(g, all_parts)
+
+    def iou_blocks_fn(blk_parts, other_parts):
+        overlap = _overlap_blocks_lanes(blk_parts, other_parts)  # (B, m, N')
+        return overlap / jnp.clip(
+            blk_parts['area'][:, :, None] + other_parts['area'][:, None, :]
+            - overlap, 1e-6, None)
 
     def cond(state):
         live, kept, count = state
@@ -335,10 +469,10 @@ def _blocked_greedy_nms_batched(boxes, scores, valid, thresh, post_maxsize,
         eq = live[:, :, None] & (ord_[:, :, None] == (midx + 1)[None, None, :])
         top_i = jnp.argmax(eq, axis=1).astype(jnp.int32)  # (B, m)
         blk_valid = jnp.any(eq, axis=1)
-        blk_boxes = jnp.take_along_axis(boxes, top_i[..., None], axis=1)
+        blk_parts = gather_parts(top_i)
         # within-block IoU computed directly (m x m pairs is far cheaper
         # than gathering columns out of the (B, m, N) matrix)
-        iou_blk = iou_blocks_fn(blk_boxes, blk_boxes)  # (B, m, m)
+        iou_blk = iou_blocks_fn(blk_parts, blk_parts)
         sup = iou_blk > thresh  # sup[b, j, i]: j suppresses i
         # ordered greedy closure: keep[i] iff valid and no kept j<i overlaps;
         # keep[j] for j<i is final when step i runs, so this is exact
@@ -376,7 +510,7 @@ def _blocked_greedy_nms_batched(boxes, scores, valid, thresh, post_maxsize,
         # rectangles is a degenerate clipping case that can round to 0 on
         # TPU) plus everything they overlap; capacity-clipped keeps stay
         # live (their sample goes inactive once count hits post_maxsize)
-        iou_all = iou_blocks_fn(blk_boxes, boxes)  # (B, m, N)
+        iou_all = iou_blocks_fn(blk_parts, all_parts)
         supp = jnp.any((iou_all > thresh) & commit[..., None], axis=1)
         live = live & ~((supp | commit_full) & active[:, None])
         count = count + commit.sum(axis=1)
@@ -426,16 +560,8 @@ def nms_bev_batched(boxes, scores, thresh, pre_maxsize, post_maxsize,
         top_boxes = jnp.take_along_axis(boxes, order[..., None], axis=1)
     top_valid = top_scores > neg_inf
 
-    def iou_blocks(blk, all_boxes):
-        overlap = _pair_overlap_bev(
-            blk[:, :, None, :], all_boxes[:, None, :, :])  # (B, m, k)
-        area_blk = (blk[..., 3] * blk[..., 4])[..., None]
-        areas = (all_boxes[..., 3] * all_boxes[..., 4])[:, None, :]
-        return overlap / jnp.clip(area_blk + areas - overlap, 1e-6, None)
-
     kept_local, num_kept = _blocked_greedy_nms_batched(
-        top_boxes, top_scores, top_valid, thresh, post_maxsize, iou_blocks,
-        block=block)
+        top_boxes, top_scores, top_valid, thresh, post_maxsize, block=block)
     keep_mask = jnp.arange(post_maxsize)[None, :] < num_kept[:, None]
     out = jnp.where(keep_mask,
                     jnp.take_along_axis(order, kept_local, axis=1).astype(jnp.int32),

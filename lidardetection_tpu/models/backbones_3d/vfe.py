@@ -196,11 +196,18 @@ class PillarVFE(nn.Module):
         ctr4 = jnp.concatenate(
             [centers, jnp.zeros(centers.shape[:-1] + (1,), centers.dtype)],
             axis=-1)
-        # XLA path: identical math, materialized point dim. Measured on a
-        # v5e chip at eval capacity (8x40448x32): XLA 2.3 ms/batch vs 3.1 ms
-        # for the block-diag Pallas kernel (ops/vfe_tpu.py) and 24-52 ms for
-        # the row-wise kernel — XLA's fusion of matmul+mask+max wins, so the
-        # Pallas kernels stay as reference implementations only.
+        if jax.devices()[0].platform == 'tpu' and vox4.shape[-1] == 4 \
+                and (p & (p - 1)) == 0:
+            # block-diag Pallas kernel (ops/vfe_tpu.py): keeps the (B,V,P,C)
+            # point activations in VMEM — the XLA path below materializes
+            # them (~400 MB/batch at bucketed KITTI eval shapes). Measured
+            # with relay-free slope timing on v5e: 0.44 ms vs ~1.9 ms XLA
+            # at 8x12288x32 (an earlier comparison favoring XLA was
+            # distorted by the axon dispatch round trip).
+            from ...ops.vfe_tpu import pillar_vfe_fused
+            return pillar_vfe_fused(vox4, ctr4, pillar_bias, npts, w4, shift,
+                                    out_dtype=cdt)
+        # XLA fallback: identical math, materialized point dim.
         # The bias/mask/max run in the compute dtype: the downstream canvas
         # is cdt anyway, and an f32 (B, V, P, C) intermediate costs ~330 MB
         # of HBM traffic per KITTI eval batch.

@@ -108,10 +108,17 @@ def main():
     prev = 0.0
     print(f'{"stage":<24}{"cum ms/batch":>14}{"marginal ms":>14}')
     for name, chain in stages:
+        # slope timing: difference two iteration counts so the ~30ms axon
+        # relay round trip doesn't inflate each batch by ~30/iters ms
         _ = float(chain(params, stats, db, 2))
+        n1, n2 = args.iters, args.iters * 4
         t0 = time.perf_counter()
-        _ = float(chain(params, stats, db, args.iters))
-        dt = (time.perf_counter() - t0) / args.iters * 1000
+        _ = float(chain(params, stats, db, n1))
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        _ = float(chain(params, stats, db, n2))
+        t2 = time.perf_counter() - t0
+        dt = (t2 - t1) / (n2 - n1) * 1000
         print(f'{name:<24}{dt:>14.2f}{dt - prev:>14.2f}')
         prev = dt
 

@@ -22,6 +22,9 @@ def build_network(model_cfg, num_class, class_names, dataset_info, axis_name=Non
     if 'BALL_QUERY_APPROX_RECALL' in model_cfg:
         from ..ops.pointnet2 import set_ball_query_recall
         set_ball_query_recall(model_cfg['BALL_QUERY_APPROX_RECALL'])
+    if 'FPS_SECTORS' in model_cfg:
+        from ..ops.pointnet2 import set_fps_sectors
+        set_fps_sectors(model_cfg['FPS_SECTORS'])
     return Detector3D(
         model_cfg=model_cfg, num_class=num_class, class_names=tuple(class_names),
         dataset_info=dataset_info, axis_name=axis_name)

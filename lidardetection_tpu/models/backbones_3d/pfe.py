@@ -70,7 +70,7 @@ class VoxelSetAbstraction(nn.Module):
         assert cfg.get('SAMPLE_METHOD', 'FPS') == 'FPS'
         points = batch['points']  # (B, N, 3+C)
         num_points = batch['num_points']
-        kp_idx = p2.farthest_point_sample(points[..., 0:3], num_points, num_kp)
+        kp_idx = p2.fps(points[..., 0:3], num_points, num_kp)
         keypoints = p2.group_points(points[..., 0:3], kp_idx[..., None]).squeeze(2)
         kp_num = jnp.minimum(num_points, num_kp)
         kp_valid = jnp.arange(num_kp)[None, :] < kp_num[:, None]

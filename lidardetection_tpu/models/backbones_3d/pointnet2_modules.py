@@ -65,7 +65,7 @@ class PointnetSAModuleMSG(nn.Module):
         b, n, _ = xyz.shape
         if self.npoint is not None:
             if new_xyz is None:
-                fps_idx = p2.farthest_point_sample(xyz, xyz_num, self.npoint)
+                fps_idx = p2.fps(xyz, xyz_num, self.npoint)
                 new_xyz = p2.group_points(xyz, fps_idx[..., None]).squeeze(2)
                 new_xyz_num = jnp.minimum(xyz_num, self.npoint)
             center_valid = jnp.arange(new_xyz.shape[1])[None, :] < new_xyz_num[:, None]

@@ -29,6 +29,30 @@ def set_ball_query_recall(recall):
     BALL_QUERY_APPROX_RECALL = recall
 
 
+# Sectors for TPU farthest-point sampling (sector_fps); None/1 = exact
+# sequential FPS everywhere. Configured per-model via MODEL.FPS_SECTORS.
+FPS_SECTORS = 32
+
+
+def set_fps_sectors(n):
+    """Set the TPU sectorized-FPS sector count (None or 1 = exact)."""
+    global FPS_SECTORS
+    FPS_SECTORS = n
+
+
+def fps(xyz, num_valid, npoint):
+    """Dispatch: sectorized FPS on TPU (FPS_SECTORS), exact elsewhere.
+
+    CPU stays exact so golden tests pin the CUDA reference semantics
+    (sampling_gpu.cu:101-170); TPU trades the npoint-long sequential argmax
+    chain for PV-RCNN++-style sector-parallel FPS.
+    """
+    s = FPS_SECTORS
+    if s and s > 1 and jax.default_backend() == 'tpu':
+        return sector_fps(xyz, num_valid, npoint, s)
+    return farthest_point_sample(xyz, num_valid, npoint)
+
+
 def _pairwise_d2(a, b):
     """Squared distances (M, N) between (M, 3) and (N, 3) points.
 
@@ -80,6 +104,82 @@ def farthest_point_sample(xyz, num_valid, npoint):
         _, _, out = jax.lax.fori_loop(
             1, npoint, body, (dist, jnp.int32(0), out0))
         return out
+
+    return jax.vmap(one)(xyz, num_valid)
+
+
+def _fps_chunks(pts, valid, k):
+    """Exact FPS within each chunk, all chunks in parallel.
+
+    Args: pts (S, c, 3); valid (S, c); k selections per chunk.
+    Returns (S, k) int32 local indices (chunk row 0 seeds each chunk,
+    matching the reference kernel's index-0 seed, sampling_gpu.cu:101).
+    """
+    S = pts.shape[0]
+
+    def body(i, carry):
+        dist, last, out = carry
+        lastpt = jnp.take_along_axis(pts, last[:, None, None], axis=1)
+        d = jnp.sum((pts - lastpt) ** 2, axis=-1)
+        dist = jnp.minimum(dist, jnp.where(valid, d, -1.0))
+        nxt = jnp.argmax(dist, axis=1).astype(jnp.int32)
+        out = out.at[:, i].set(nxt)
+        return dist, nxt, out
+
+    dist0 = jnp.where(valid, _BIG, -1.0)
+    out0 = jnp.zeros((S, k), jnp.int32)
+    _, _, out = jax.lax.fori_loop(
+        1, k, body, (dist0, jnp.zeros((S,), jnp.int32), out0))
+    return out
+
+
+def sector_fps(xyz, num_valid, npoint, n_sectors=32):
+    """Sectorized farthest point sampling (TPU-native FPS).
+
+    Exact FPS is a npoint-long sequential argmax chain — 2048 dependent
+    steps for PV-RCNN keypoints, hopeless on TPU. Following PV-RCNN++'s
+    sectorized proposal-centric sampling (Shi et al. 2022, §4.1 — FPS
+    within polar sectors preserves the coverage property that matters),
+    points are sorted by BEV polar angle and split into `n_sectors`
+    EQUAL-COUNT contiguous chunks (adaptive sector widths), then exact FPS
+    runs inside all chunks in parallel: sequential depth drops npoint ->
+    npoint/n_sectors while each step is a (S, c) lane-parallel argmax.
+
+    Args:
+        xyz: (B, N, 3); num_valid: (B,) int32; npoint, n_sectors: static.
+    Returns:
+        (B, npoint) int32 indices, sector-major order. Chunks that are all
+        padding fall back to the sample's first valid point (dup indices,
+        same semantics as exact FPS when num_valid < npoint).
+    """
+    B, N, _ = xyz.shape
+    S = int(n_sectors)
+    while npoint % S or N % S:  # degrade to fewer sectors if misaligned
+        S //= 2
+    if S <= 1:
+        return farthest_point_sample(xyz, num_valid, npoint)
+    k, c = npoint // S, -(-N // S)
+    pos = jnp.arange(N)
+
+    def one(pts, n):
+        valid = pos < n
+        ang = jnp.where(valid, jnp.arctan2(pts[:, 1], pts[:, 0]), _BIG)
+        perm = jnp.argsort(ang).astype(jnp.int32)  # (N,) valid ranks first
+        # chunk i covers VALID sorted ranks [i*n/S, (i+1)*n/S): padding never
+        # occupies chunk slots, so every sector keeps ~n/S real points even
+        # for heavily padded samples (chunk sizes <= ceil(n/S) <= c)
+        sec = jnp.arange(S, dtype=jnp.int32)
+        start = (sec * n) // S  # S*n << 2**31 for any real scan
+        end = ((sec + 1) * n) // S
+        rank = start[:, None] + jnp.arange(c, dtype=jnp.int32)[None, :]
+        valid_s = rank < end[:, None]  # (S, c)
+        rank = jnp.minimum(rank, N - 1)
+        idx_sorted = perm[rank]  # (S, c) original indices
+        pts_s = pts[idx_sorted]
+        loc = _fps_chunks(pts_s, valid_s, k)  # (S, k)
+        idx = jnp.take_along_axis(idx_sorted, loc, axis=1)
+        ok = jnp.take_along_axis(valid_s, loc, axis=1)
+        return jnp.where(ok, idx, perm[0]).reshape(-1)
 
     return jax.vmap(one)(xyz, num_valid)
 

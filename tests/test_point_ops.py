@@ -29,6 +29,48 @@ def test_fps_ignores_padding():
     assert np.all(idx < 5)
 
 
+def test_sector_fps_coverage_and_validity():
+    """sector_fps (TPU FPS path) must pick only valid points and cover the
+    scene comparably to exact FPS (coverage radius within 2x)."""
+    rng = np.random.RandomState(3)
+    n, npoint, sectors = 512, 64, 8
+    pts = np.zeros((2, n, 3), np.float32)
+    nv = np.array([n, 300], np.int32)
+    for b, m in enumerate(nv):
+        r = rng.rand(m) * 50
+        th = rng.rand(m) * 2 * np.pi
+        pts[b, :m] = np.stack(
+            [r * np.cos(th), r * np.sin(th), rng.randn(m)], axis=1)
+        pts[b, m:] = 1e6  # padding garbage
+
+    idx_s = np.asarray(pointnet2.sector_fps(
+        jnp.asarray(pts), jnp.asarray(nv), npoint, sectors))
+    idx_e = np.asarray(pointnet2.farthest_point_sample(
+        jnp.asarray(pts), jnp.asarray(nv), npoint))
+
+    for b, m in enumerate(nv):
+        assert np.all(idx_s[b] < m)
+        # coverage: max over valid points of distance to nearest sample
+        d = np.linalg.norm(
+            pts[b, :m, None, :] - pts[b, idx_s[b]][None, :, :], axis=-1)
+        cov_s = d.min(axis=1).max()
+        d = np.linalg.norm(
+            pts[b, :m, None, :] - pts[b, idx_e[b]][None, :, :], axis=-1)
+        cov_e = d.min(axis=1).max()
+        assert cov_s <= 2.0 * cov_e + 1e-3, (cov_s, cov_e)
+        # near-duplicate-free when enough valid points exist
+        assert len(set(idx_s[b].tolist())) >= npoint * 0.9
+
+
+def test_sector_fps_all_padding_chunks():
+    # only 4 valid points, 8 sectors: empty chunks fall back to a valid idx
+    pts = np.full((1, 64, 3), 1e6, np.float32)
+    pts[0, :4] = np.random.RandomState(0).randn(4, 3)
+    idx = np.asarray(pointnet2.sector_fps(
+        jnp.asarray(pts), jnp.array([4]), 16, 8))[0]
+    assert np.all(idx < 4)
+
+
 def test_ball_query_semantics():
     src = np.array([[[0, 0, 0], [0.1, 0, 0], [5, 0, 0], [0.2, 0, 0],
                      [9, 9, 9]]], np.float32)

@@ -11,9 +11,17 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+import os
+
 import jax
 
 jax.config.update('jax_platforms', 'cpu')
+# share the test suite's persistent compilation cache (the worker is a
+# fresh process; without this each run recompiles the full train step)
+jax.config.update('jax_compilation_cache_dir',
+                  os.path.join(os.path.dirname(__file__), '.jax_cache'))
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
+jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
 
 
 def main():
@@ -41,6 +49,7 @@ def main():
     cfg.DATA_CONFIG.MAX_POINTS = 4000
     cfg.DATA_CONFIG.DATA_PROCESSOR[2].MAX_NUMBER_OF_VOXELS = {
         'train': 800, 'test': 800}
+    cfg.DATA_CONFIG.DATA_PROCESSOR[2].VOXEL_SIZE = [0.32, 0.32, 4]
     cfg.DATA_CONFIG.DATASET = 'SyntheticDataset'
     del cfg.DATA_CONFIG.DATA_AUGMENTOR
 

@@ -30,6 +30,7 @@ def setup():
     cfg.DATA_CONFIG.MAX_POINTS = 6000
     cfg.DATA_CONFIG.DATA_PROCESSOR[2].MAX_NUMBER_OF_VOXELS = {
         'train': 1200, 'test': 1200}
+    cfg.DATA_CONFIG.DATA_PROCESSOR[2].VOXEL_SIZE = [0.32, 0.32, 4]
     cfg.MODEL.POST_PROCESSING.NMS_CONFIG.NMS_PRE_MAXSIZE = 256
     cfg.MODEL.POST_PROCESSING.NMS_CONFIG.NMS_POST_MAXSIZE = 32
     cfg.DATA_CONFIG.DATASET = 'SyntheticDataset'

@@ -29,6 +29,7 @@ def cfg():
     c = cfg_from_yaml_file('tools/cfgs/kitti_models/pointpillar.yaml')
     c.DATA_CONFIG.MAX_POINTS = 16000
     c.DATA_CONFIG.DATA_PROCESSOR[2].MAX_NUMBER_OF_VOXELS = {'train': 3000, 'test': 3000}
+    c.DATA_CONFIG.DATA_PROCESSOR[2].VOXEL_SIZE = [0.32, 0.32, 4]
     c.DATA_CONFIG.DATASET = 'SyntheticDataset'
     del c.DATA_CONFIG.DATA_AUGMENTOR
     c.MODEL.COMPUTE_DTYPE = 'float32'
@@ -90,8 +91,8 @@ def setup(cfg):
 def test_forward_multihead(cfg, setup):
     dataset, batch, model, variables = setup
     out = model.apply(variables, device_batch(batch), training=False)
-    # anchors per class = 2 rot x (248*216 grid) = 107136; 3 classes total
-    a_total = 248 * 216 * 2 * 3
+    # anchors per class = 2 rot x (124*108 grid); 3 classes total
+    a_total = 124 * 108 * 2 * 3
     assert out['batch_box_preds'].shape == (2, a_total, 7)
     assert isinstance(out['batch_cls_preds'], (list, tuple))
     assert out['batch_cls_preds'][0].shape[-1] == 1  # car head

@@ -22,6 +22,9 @@ def cfg():
     # shrink capacities for CPU test speed
     c.DATA_CONFIG.MAX_POINTS = 20000
     c.DATA_CONFIG.DATA_PROCESSOR[2].MAX_NUMBER_OF_VOXELS = {'train': 4000, 'test': 4000}
+    # 2x voxel size -> 248x216 BEV canvas (4x less CPU conv work; the full
+    # 496x432 canvas made the train test alone cost ~150 s)
+    c.DATA_CONFIG.DATA_PROCESSOR[2].VOXEL_SIZE = [0.32, 0.32, 4]
     c.MODEL.POST_PROCESSING.NMS_CONFIG.NMS_PRE_MAXSIZE = 512
     c.MODEL.POST_PROCESSING.NMS_CONFIG.NMS_POST_MAXSIZE = 64
     c.DATA_CONFIG.DATASET = 'SyntheticDataset'
@@ -55,22 +58,22 @@ def test_batch_shapes(cfg, data):
     assert batch['voxels'].dtype == np.float32
     # coords are (z, y, x) within the pillar grid
     valid = batch['voxel_coords'][batch['voxel_coords'][..., 0] >= 0]
-    assert valid[:, 1].max() < 496 and valid[:, 2].max() < 432
+    assert valid[:, 1].max() < 248 and valid[:, 2].max() < 216
 
 
 def test_forward_shapes(cfg, data, model_and_vars):
     dataset, _, batch = data
     model, variables = model_and_vars
     out = model.apply(variables, device_batch(batch), training=False)
-    assert out['spatial_features'].shape == (2, 496, 432, 64)
-    assert out['spatial_features_2d'].shape == (2, 248, 216, 384)
-    a = 248 * 216 * 6
+    assert out['spatial_features'].shape == (2, 248, 216, 64)
+    assert out['spatial_features_2d'].shape == (2, 124, 108, 384)
+    a = 124 * 108 * 6
     # single-stage eval defers box decode to post_processing (top-k rows
     # only): raw preds stay BEV-native, anchors reconstructed from idx
     nc, code, nd = out['head_raw_sizes']
     assert (nc, code, nd) == (3, 7, 2)
-    assert out['head_layout'] == (248, 216, 6)
-    assert out['batch_fused_preds'].shape == (2, 248, 216, 6 * (nc + code + nd))
+    assert out['head_layout'] == (124, 108, 6)
+    assert out['batch_fused_preds'].shape == (2, 124, 108, 6 * (nc + code + nd))
     idx = jnp.asarray(
         np.random.RandomState(0).randint(0, a, (2, 8)).astype(np.int32))
     anchors = out['anchor_from_idx'](idx)

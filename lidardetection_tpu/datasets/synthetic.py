@@ -32,8 +32,22 @@ def make_scene(rng, point_cloud_range, num_objects=8, points_per_obj=120,
     for _ in range(num_objects):
         name = class_names[rng.randint(len(class_names))]
         dx, dy, dz = CLASS_SIZE.get(name, _DEFAULT_SIZE)
-        cx = rng.uniform(x1 + 5, x2 - 5)
-        cy = rng.uniform(y1 + 5, y2 - 5)
+        diag = float(np.hypot(dx, dy))
+        # rejection-sample a non-overlapping placement: overlapping gt makes
+        # even perfect detections lose AP (ambiguous greedy matching in the
+        # official eval), which would mask real regressions in train-to-AP
+        # gates
+        for _attempt in range(50):
+            cx = rng.uniform(x1 + 5, x2 - 5)
+            cy = rng.uniform(y1 + 5, y2 - 5)
+            ok = all(
+                np.hypot(cx - b[0], cy - b[1])
+                > (diag + np.hypot(b[3], b[4])) / 2 + 0.5
+                for b in gt_boxes)
+            if ok:
+                break
+        else:
+            continue  # crowded range: drop the object rather than overlap
         cz = CLASS_Z.get(name, _DEFAULT_Z)
         heading = rng.uniform(-np.pi, np.pi)
         sx = rng.uniform(0.9, 1.15)
@@ -115,10 +129,91 @@ class SyntheticDataset(DatasetTemplate):
             n = int(pred_dicts['num_preds'][i])
             boxes = np.asarray(pred_dicts['pred_boxes'][i][:n])
             labels = np.asarray(pred_dicts['pred_labels'][i][:n]).astype(int)
-            annos.append({
-                'name': np.array([class_names[l - 1] for l in labels]),
-                'score': np.asarray(pred_dicts['pred_scores'][i][:n]),
-                'boxes_lidar': boxes,
-                'frame_id': batch_dict['frame_id'][i],
-            })
+            names = np.array([class_names[l - 1] for l in labels])
+            scores = np.asarray(pred_dicts['pred_scores'][i][:n])
+            anno = kitti_anno_from_lidar(boxes, names, scores)
+            anno['frame_id'] = batch_dict['frame_id'][i]
+            annos.append(anno)
         return annos
+
+    def evaluation(self, det_annos, class_names, **kwargs):
+        """Official KITTI-protocol AP against the generating gt boxes.
+
+        Synthetic scenes have exact gt, so the same eval the reference runs
+        on KITTI (kitti_dataset.py:322 -> eval.py:639) applies directly —
+        the accuracy gate for train-to-AP harnesses (tools/train_to_ap run).
+        """
+        from .kitti.kitti_object_eval import eval as kitti_eval
+
+        gt_annos = []
+        for det in det_annos:
+            index = int(det['frame_id'])
+            rng = np.random.RandomState(self.seed * 100003 + index)
+            _, gt_boxes, gt_names = make_scene(
+                rng, self.point_cloud_range, class_names=self.class_names)
+            gt_annos.append(kitti_anno_from_lidar(gt_boxes, gt_names))
+        return kitti_eval.get_official_eval_result(
+            gt_annos, det_annos, class_names)
+
+
+class SyntheticCalib:
+    """Canonical lidar->rect mapping (x_c=-y_l, y_c=-z_l, z_c=x_l) plus a
+    wide synthetic pinhole (f=1000, 2000x6000 image) so boxes anywhere in
+    the point-cloud range project to image bboxes large enough for the
+    KITTI difficulty gates (MIN_HEIGHT 40/25/25 px, eval.py protocol)."""
+
+    IMAGE_SHAPE = (2000, 6000)  # (H, W)
+
+    def __init__(self):
+        self.V2C = np.array([[0., -1., 0., 0.],
+                             [0., 0., -1., 0.],
+                             [1., 0., 0., 0.]])
+        self.R0 = np.eye(3)
+        self.P2 = np.array([[1000., 0., 3000., 0.],
+                            [0., 1000., 1000., 0.],
+                            [0., 0., 1., 0.]])
+
+    def lidar_to_rect(self, pts_lidar):
+        hom = np.concatenate(
+            [pts_lidar, np.ones((pts_lidar.shape[0], 1))], axis=1)
+        return hom @ (self.V2C.T @ self.R0.T)
+
+    def rect_to_img(self, pts_rect):
+        hom = np.concatenate(
+            [pts_rect, np.ones((pts_rect.shape[0], 1))], axis=1)
+        p = hom @ self.P2.T
+        z = np.maximum(p[:, 2], 0.1)  # clamp behind-camera points
+        img = p[:, 0:2] / z[:, None]
+        return img, p[:, 2] - self.P2.T[3, 2]
+
+
+def kitti_anno_from_lidar(boxes_lidar, names, scores=None):
+    """Lidar boxes (N, 7) -> full KITTI camera-protocol anno dict."""
+    from ..core import np_geometry as npg
+
+    calib = SyntheticCalib()
+    n = len(boxes_lidar)
+    boxes_lidar = np.asarray(boxes_lidar, np.float64).reshape(n, 7)
+    if n:
+        cam = npg.boxes3d_lidar_to_kitti_camera(boxes_lidar, calib)
+        bbox = npg.boxes3d_kitti_camera_to_imageboxes(
+            cam, calib, image_shape=SyntheticCalib.IMAGE_SHAPE)
+        alpha = (-np.arctan2(-boxes_lidar[:, 1], boxes_lidar[:, 0])
+                 + cam[:, 6])
+    else:
+        cam = np.zeros((0, 7))
+        bbox = np.zeros((0, 4))
+        alpha = np.zeros(0)
+    return {
+        'name': np.asarray(names),
+        'truncated': np.zeros(n),
+        'occluded': np.zeros(n, np.int64),
+        'alpha': alpha,
+        'bbox': bbox,
+        'dimensions': cam[:, 3:6],
+        'location': cam[:, 0:3],
+        'rotation_y': cam[:, 6],
+        'score': (np.asarray(scores) if scores is not None
+                  else np.ones(n)),
+        'boxes_lidar': boxes_lidar,
+    }

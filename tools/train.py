@@ -131,7 +131,7 @@ def main():
             training=False, logger=logger, num_shards=world, shard_id=rank,
             **extra)
         variables = {'params': state.params, 'batch_stats': state.batch_stats}
-        result = eval_one_epoch(
+        result, _annos = eval_one_epoch(
             model, variables, test_loader, cfg.MODEL.POST_PROCESSING,
             cfg.CLASS_NAMES, logger, mesh=mesh,
             result_dir=str(output_dir / 'eval'))

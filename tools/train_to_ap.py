@@ -1,0 +1,125 @@
+"""Train-to-AP accuracy harness: overfit a detector on a fixed synthetic
+scene set, then run the official KITTI-protocol eval on the same scenes.
+
+This exercises the full train -> checkpoint -> restore -> eval -> AP loop
+end-to-end, which loss-goes-down tests cannot: the reference's entire QA is
+official-AP-vs-model-zoo (reference README.md:90-106, tools/test.py +
+eval_utils.py:22-121). On an overfit noise-free set a healthy detector
+must reach near-100 3D AP; large gaps localize decode/assigner/NMS bugs.
+
+Usage:
+    python tools/train_to_ap.py --cpu --epochs 40          # CPU (slow)
+    python tools/train_to_ap.py --epochs 40                # TPU
+Prints one JSON gate line; exits nonzero if Car 3D AP < --min_ap.
+"""
+
+import argparse
+import datetime
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--cfg_file',
+                    default='tools/cfgs/kitti_models/pointpillar.yaml')
+    ap.add_argument('--scenes', type=int, default=48,
+                    help='>= 48 so every class has >= 41 valid gt (the '
+                         'official 40-recall-point AP cannot reach 100 '
+                         'below that)')
+    ap.add_argument('--epochs', type=int, default=40)
+    ap.add_argument('--batch_size', type=int, default=8)
+    ap.add_argument('--cpu', action='store_true')
+    ap.add_argument('--half_res', action='store_true', default=True,
+                    help='0.32 m pillars (248x216 canvas) for speed')
+    ap.add_argument('--full_res', dest='half_res', action='store_false')
+    ap.add_argument('--min_ap', type=float, default=95.0)
+    ap.add_argument('--output_dir', default='output/train_to_ap')
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+        jax.config.update('jax_platforms', 'cpu')
+    import jax
+
+    from lidardetection_tpu.config import cfg_from_yaml_file
+    from lidardetection_tpu.datasets import build_dataloader
+    from lidardetection_tpu.engine.evaluator import eval_one_epoch
+    from lidardetection_tpu.engine.trainer import train_model
+    from lidardetection_tpu.models import build_network
+    from lidardetection_tpu.parallel.train_step import device_batch
+    from lidardetection_tpu.utils.checkpoint import (
+        latest_checkpoint, restore_checkpoint,
+    )
+    from lidardetection_tpu.utils.common import create_logger, set_random_seed
+
+    set_random_seed(42)
+    cfg = cfg_from_yaml_file(args.cfg_file)
+    cfg.DATA_CONFIG.DATASET = 'SyntheticDataset'
+    if 'DATA_AUGMENTOR' in cfg.DATA_CONFIG:
+        del cfg.DATA_CONFIG.DATA_AUGMENTOR  # overfit the raw scenes
+    if args.half_res:
+        for p in cfg.DATA_CONFIG.DATA_PROCESSOR:
+            if p.NAME == 'transform_points_to_voxels':
+                vs = p.VOXEL_SIZE
+                z = vs[2]
+                p.VOXEL_SIZE = [vs[0] * 2, vs[1] * 2, z]
+                p.MAX_NUMBER_OF_VOXELS = {'train': 8000, 'test': 8000}
+
+    out = Path(args.output_dir)
+    ckpt_dir = out / 'ckpt'
+    out.mkdir(parents=True, exist_ok=True)
+    logger = create_logger(
+        out / f'log_{datetime.datetime.now():%Y%m%d-%H%M%S}.txt')
+    logger.info('devices: %s', jax.devices())
+
+    dataset, loader = build_dataloader(
+        cfg.DATA_CONFIG, cfg.CLASS_NAMES, batch_size=args.batch_size,
+        training=True, logger=logger, num_scenes=args.scenes, seed=0)
+    model = build_network(cfg.MODEL, len(cfg.CLASS_NAMES), cfg.CLASS_NAMES,
+                          dataset.dataset_info)
+    batch0 = next(iter(loader))
+    variables = model.init(jax.random.PRNGKey(0), device_batch(batch0),
+                           training=False)
+
+    state = train_model(model, variables, loader, cfg.OPTIMIZATION,
+                        args.epochs, str(ckpt_dir), logger,
+                        max_ckpt_save_num=3)
+
+    # restore from the newest checkpoint (NOT the in-memory state) so the
+    # gate also covers save/restore round-tripping; the returned state is
+    # the template (the init-time `variables` were donated by the train
+    # step and their buffers no longer exist)
+    restored, _epoch = restore_checkpoint(
+        latest_checkpoint(str(ckpt_dir)), state, logger)
+    eval_vars = {'params': restored.params,
+                 'batch_stats': restored.batch_stats}
+
+    test_set, test_loader = build_dataloader(
+        cfg.DATA_CONFIG, cfg.CLASS_NAMES, batch_size=args.batch_size,
+        training=False, logger=logger, num_scenes=args.scenes, seed=0)
+    result, _annos = eval_one_epoch(
+        model, eval_vars, test_loader, cfg.MODEL.POST_PROCESSING,
+        cfg.CLASS_NAMES, logger, result_dir=str(out / 'eval'))
+
+    keys = [k for k in sorted(result)
+            if 'moderate' in k and ('_3d/' in k or '_bev/' in k)]
+    for k in keys:
+        logger.info('%s: %.2f', k, result[k])
+    car_ap = result.get('Car_3d/moderate_R40', 0.0)
+    gate = {
+        'metric': 'train_to_ap_car_3d_moderate_R40',
+        'value': round(float(car_ap), 2),
+        'unit': 'AP',
+        'pass': bool(car_ap >= args.min_ap),
+        'scenes': args.scenes, 'epochs': args.epochs,
+    }
+    print(json.dumps(gate))
+    sys.exit(0 if gate['pass'] else 1)
+
+
+if __name__ == '__main__':
+    main()

@@ -1,67 +1,105 @@
-"""Benchmark: PointPillar inference throughput (scans/sec/chip).
+"""Benchmark: detector throughput (scans/sec/chip) on synthetic KITTI scans.
 
-Prints one JSON line {"metric", "value", "unit", "vs_baseline"}.
-Baseline north star (BASELINE.json): 2000 scans/sec/chip on v5e.
+Prints one JSON line per metric; the FIRST line is the driver's primary
+metric (PointPillar eval throughput vs the 2000 scans/s/chip north star,
+BASELINE.md). Additional lines cover PV-RCNN (>=150 target), SECOND, and
+the PointPillar train step (scans/s + achieved MFU), mirroring the
+reference's eval `sec_per_example` (tools/eval_utils/eval_utils.py:79) and
+training-time baselines (README.md:88-98).
 
-Measures the steady-state jitted device pipeline (forward + NMS post-
-processing) on KITTI-shaped synthetic scans at eval capacity (40k pillars,
-matching MAX_NUMBER_OF_VOXELS test, pointpillar.yaml). The reference's
-analogous metric is eval `sec_per_example` (tools/eval_utils/eval_utils.py:79).
+Timing: each measurement chains iterations through an on-device data
+dependency inside one jitted fori_loop (one dispatch + one scalar fetch —
+the axon relay costs ~30 ms per round trip) and slope-times two iteration
+counts to cancel the dispatch overhead.
 """
 
+import argparse
 import json
+import signal
 import time
 
 import numpy as np
 
+NORTH_STAR = {'pointpillar': 2000.0, 'second': 2000.0, 'pv_rcnn': 150.0}
+V5E_BF16_PEAK = 197e12
 
-def main():
+
+TINY = False  # --tiny: shrunken capacities for CPU plumbing checks
+
+
+def _load(model_name, batch_size, training):
     import jax
 
     from lidardetection_tpu.config import cfg_from_yaml_file
     from lidardetection_tpu.datasets import build_dataloader
     from lidardetection_tpu.models import build_network
-    from lidardetection_tpu.parallel.train_step import device_batch, make_eval_step
-    from lidardetection_tpu.utils.common import set_random_seed
+    from lidardetection_tpu.parallel.train_step import device_batch
 
-    set_random_seed(42)
-    batch_size = 8
-    cfg = cfg_from_yaml_file('tools/cfgs/kitti_models/pointpillar.yaml')
+    cfg = cfg_from_yaml_file(f'tools/cfgs/kitti_models/{model_name}.yaml')
     cfg.DATA_CONFIG.DATASET = 'SyntheticDataset'
     cfg.DATA_CONFIG.MAX_POINTS = 32768
-    del cfg.DATA_CONFIG.DATA_AUGMENTOR
+    if 'DATA_AUGMENTOR' in cfg.DATA_CONFIG:
+        del cfg.DATA_CONFIG.DATA_AUGMENTOR
+    if TINY:
+        cfg.DATA_CONFIG.MAX_POINTS = 4000
+        for p in cfg.DATA_CONFIG.DATA_PROCESSOR:
+            if p.NAME == 'transform_points_to_voxels':
+                p.MAX_NUMBER_OF_VOXELS = {'train': 1500, 'test': 1500}
+                vs = p.VOXEL_SIZE
+                p.VOXEL_SIZE = [vs[0] * 2, vs[1] * 2, vs[2]]
+        cfg.MODEL.POST_PROCESSING.NMS_CONFIG.NMS_PRE_MAXSIZE = 256
+        cfg.MODEL.POST_PROCESSING.NMS_CONFIG.NMS_POST_MAXSIZE = 32
+        if 'PFE' in cfg.MODEL:
+            cfg.MODEL.PFE.NUM_KEYPOINTS = 256
+        if 'ROI_HEAD' in cfg.MODEL:
+            for phase in ('TRAIN', 'TEST'):
+                cfg.MODEL.ROI_HEAD.NMS_CONFIG[phase].NMS_PRE_MAXSIZE = 256
+                cfg.MODEL.ROI_HEAD.NMS_CONFIG[phase].NMS_POST_MAXSIZE = 32
+            cfg.MODEL.ROI_HEAD.TARGET_CONFIG.ROI_PER_IMAGE = 16
 
     dataset, loader = build_dataloader(
         cfg.DATA_CONFIG, cfg.CLASS_NAMES, batch_size=batch_size,
-        training=False, num_scenes=batch_size)
+        training=training, num_scenes=batch_size)
     batch = next(iter(loader))
     model = build_network(cfg.MODEL, len(cfg.CLASS_NAMES), cfg.CLASS_NAMES,
                           dataset.dataset_info)
     db = device_batch(batch)
     variables = model.init(jax.random.PRNGKey(0), db, training=False)
+    db = jax.device_put(db)
+    return cfg, model, variables, db
+
+
+def _slope_time(chain, n1=20, n2=80):
+    """Seconds per iteration via two chained runs (cancels dispatch cost)."""
+    _ = float(chain(2))  # warmup / compile
+    t0 = time.perf_counter()
+    _ = float(chain(n1))
+    t1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    _ = float(chain(n2))
+    t2 = time.perf_counter() - t0
+    return (t2 - t1) / (n2 - n1)
+
+
+def bench_eval(model_name, batch_size=8):
+    import jax
     import jax.numpy as jnp
 
-    from lidardetection_tpu.models.detectors.post_processing import post_processing
+    from lidardetection_tpu.models.detectors.post_processing import (
+        post_processing,
+    )
 
+    cfg, model, variables, db = _load(model_name, batch_size, training=False)
     params, stats = variables['params'], variables['batch_stats']
-    db = jax.device_put(db)
-    # force upload completion with a real fetch (the axon relay's
-    # block_until_ready does not reliably block)
-    _ = float(jnp.sum(db['voxels']))
-
+    _ = float(jnp.sum(db['voxels']))  # force upload completion (axon relay)
     post_cfg = cfg.MODEL.POST_PROCESSING
     num_class = len(cfg.CLASS_NAMES)
 
     @jax.jit
-    def chain(params, stats, db, n):
-        # run the whole timed loop on device: each iteration depends on the
-        # previous via the carry (so XLA cannot elide or overlap work), and
-        # the host pays ONE dispatch + ONE scalar fetch. Per-iteration host
-        # dispatch through the axon tunnel costs ~30 ms and would measure
-        # the relay, not the chip. Voxels ride the loop carry and are
-        # perturbed with a single-element update — a full `voxels + carry`
-        # materialized a fresh 168 MB array every iteration (~0.5 ms of
-        # HBM traffic measured on v5e, charged to the model unfairly).
+    def chain(n):
+        # voxels ride the loop carry with a single-element perturbation so
+        # XLA cannot elide or overlap iterations; a full `voxels + carry`
+        # would materialize a fresh 168 MB array per iteration
         def body(_, state):
             vox, carry = state
             vox = vox.at[0, 0, 0, 3].add(carry * 1e-12)
@@ -74,26 +112,122 @@ def main():
             0, n, body, (db['voxels'], jnp.float32(0.0)))
         return out
 
-    _ = float(chain(params, stats, db, 2))  # warmup / compile
-    # slope timing: the axon relay costs ~30 ms per dispatch+fetch round
-    # trip, so time two iteration counts and difference them — a single
-    # 50-iter run would over-charge each batch ~0.6 ms
-    n1, n2 = 20, 80
-    t0 = time.perf_counter()
-    _ = float(chain(params, stats, db, n1))
-    t1 = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    _ = float(chain(params, stats, db, n2))
-    t2 = time.perf_counter() - t0
-    dt = (t2 - t1) / (n2 - n1)
-
-    scans_per_sec = batch_size / dt
-    print(json.dumps({
-        'metric': 'pointpillar_scans_per_sec_per_chip',
-        'value': round(scans_per_sec, 2),
+    dt = _slope_time(chain)
+    scans = batch_size / dt
+    return {
+        'metric': f'{model_name}_scans_per_sec_per_chip',
+        'value': round(scans, 2),
         'unit': 'scans/s',
-        'vs_baseline': round(scans_per_sec / 2000.0, 4),
-    }))
+        'vs_baseline': round(scans / NORTH_STAR[model_name], 4),
+    }
+
+
+def bench_train(model_name='pointpillar', batch_size=8):
+    import jax
+    import jax.numpy as jnp
+
+    from lidardetection_tpu.parallel.train_step import (
+        TrainState, make_train_step,
+    )
+    from lidardetection_tpu.utils.optimization import build_optimizer
+
+    cfg, model, variables, db = _load(model_name, batch_size, training=True)
+    _ = float(jnp.sum(db['voxels']))
+    tx, _sched = build_optimizer(cfg.OPTIMIZATION, 100, 2)
+    state = TrainState.create(params=variables['params'],
+                              batch_stats=variables['batch_stats'], tx=tx)
+    step = make_train_step(model, donate=False)
+
+    # FLOPs of one step from the compiled executable (for achieved MFU)
+    try:
+        lowered = jax.jit(step).lower(state, db)
+        flops = float(lowered.compile().cost_analysis()['flops'])
+    except Exception:
+        flops = 0.0
+
+    @jax.jit
+    def chain(n):
+        def body(_, st):
+            st2, _tb = step(st, db)
+            return st2
+        final = jax.lax.fori_loop(0, n, body, state)
+        return jax.tree_util.tree_leaves(final.params)[0].reshape(-1)[0]
+
+    if TINY:
+        # XLA:CPU executes the fori_loop body ~30x slower than the bare
+        # step (thunk-level loop execution; TPU compiles the loop flat), so
+        # the CPU plumbing check times bare dispatches instead — dispatch
+        # overhead is negligible off the relay
+        jstep = jax.jit(step)
+        st, _ = jstep(state, db)
+        jax.block_until_ready(st.params)
+        t0 = time.perf_counter()
+        for _ in range(3):
+            st, _ = jstep(st, db)
+        jax.block_until_ready(st.params)
+        dt = (time.perf_counter() - t0) / 3
+    else:
+        dt = _slope_time(chain, n1=10, n2=40)
+    scans = batch_size / dt
+    out = {
+        'metric': f'{model_name}_train_scans_per_sec_per_chip',
+        'value': round(scans, 2),
+        'unit': 'scans/s',
+        'vs_baseline': round(scans / NORTH_STAR[model_name], 4),
+    }
+    if flops:
+        out['mfu'] = round(flops / dt / V5E_BF16_PEAK, 4)
+    return out
+
+
+class _MetricTimeout(Exception):
+    pass
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--models', default='pointpillar,pv_rcnn,train',
+                    help='comma list: pointpillar, second, pv_rcnn, train')
+    ap.add_argument('--batch_size', type=int, default=8)
+    ap.add_argument('--metric_timeout', type=int, default=1500,
+                    help='per-metric wall budget (s); a hung TPU dial or '
+                         'pathological compile skips to the next metric '
+                         'instead of eating the whole bench run')
+    ap.add_argument('--tiny', action='store_true',
+                    help='shrunken capacities (CPU plumbing check only)')
+    args = ap.parse_args()
+    import jax
+    if args.tiny:
+        global TINY
+        TINY = True
+        jax.config.update('jax_platforms', 'cpu')
+    # persistent compile cache: reruns (and the driver's end-of-round run
+    # after this session already compiled the same programs) skip XLA
+    jax.config.update('jax_compilation_cache_dir', '/tmp/ldtpu_bench_cache')
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+
+    from lidardetection_tpu.utils.common import set_random_seed
+    set_random_seed(42)
+
+    def on_alarm(signum, frame):
+        raise _MetricTimeout(f'exceeded {args.metric_timeout}s')
+
+    signal.signal(signal.SIGALRM, on_alarm)
+    for name in args.models.split(','):
+        name = name.strip()
+        signal.alarm(args.metric_timeout)
+        try:
+            if name == 'train':
+                res = bench_train(batch_size=args.batch_size)
+            else:
+                res = bench_eval(name, batch_size=args.batch_size)
+        except Exception as e:  # keep the primary line flowing
+            res = {'metric': f'{name}_scans_per_sec_per_chip', 'value': 0,
+                   'unit': 'scans/s', 'vs_baseline': 0.0,
+                   'error': f'{type(e).__name__}: {e}'[:200]}
+        finally:
+            signal.alarm(0)
+        print(json.dumps(res), flush=True)
 
 
 if __name__ == '__main__':

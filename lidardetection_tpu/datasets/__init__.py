@@ -3,10 +3,15 @@
 torch DataLoader/DistributedSampler are replaced by a plain python batcher:
 samples are fixed-shape numpy, collation is a stack, and per-host sharding is
 a strided slice of the index space (the multi-host analog of
-DistributedSampler). A background-thread prefetcher overlaps host voxelization
-with device compute.
+DistributedSampler). Prefetch overlaps host work (augment + voxelize) with
+device compute: `num_workers=0` uses one background thread; `num_workers>0`
+forks that many worker processes, each building whole collated batches, with
+an ordered reorder buffer — the TPU-host analog of the reference's
+DataLoader(num_workers) (pcdet/datasets/__init__.py:60-70).
 """
 
+import multiprocessing as mp
+import os
 import queue
 import threading
 
@@ -41,7 +46,7 @@ class DataLoader:
 
     def __init__(self, dataset, batch_size, shuffle=False, seed=0,
                  drop_last=True, num_shards=1, shard_id=0, prefetch=2,
-                 bucket_voxels=False, bucket_granularity=4096):
+                 num_workers=0, bucket_voxels=False, bucket_granularity=4096):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -50,6 +55,7 @@ class DataLoader:
         self.num_shards = num_shards
         self.shard_id = shard_id
         self.prefetch = prefetch
+        self.num_workers = num_workers
         # occupancy bucketing: real scans occupy ~25% of the voxel capacity
         # (KITTI ~6-12k pillars of the 40k eval cap, pointpillar.yaml), and
         # VFE/scatter cost is proportional to the padded table size. The
@@ -103,6 +109,10 @@ class DataLoader:
                 chunk = np.concatenate([chunk, idx[:self.batch_size - len(chunk)]])
             batches.append(chunk)
 
+        if self.num_workers > 0:
+            yield from self._iter_procs(batches)
+            return
+
         if self.prefetch <= 0:
             for chunk in batches:
                 yield self._bucket(
@@ -128,6 +138,59 @@ class DataLoader:
                 break
             yield item
 
+    def _iter_procs(self, batches):
+        """Process-pool prefetch: each worker builds whole collated batches.
+
+        fork-based so the dataset needs no pickling; workers touch only
+        numpy (never jax — forking a live TPU client into a child that then
+        uses it deadlocks). Batches are re-emitted in submission order via a
+        reorder buffer, so the SAMPLE composition of each batch matches the
+        serial path exactly; augmentation randomness differs per worker
+        (each worker reseeds the global np.random from seed/epoch/worker_id,
+        the analog of torch DataLoader's per-worker base_seed + worker_id).
+        """
+        ctx = mp.get_context('fork')
+        task_q = ctx.Queue()
+        result_q = ctx.Queue(maxsize=max(2, self.prefetch) * self.num_workers)
+
+        def worker_loop(tq, rq, wid):
+            # forked children inherit one global np.random state; without
+            # reseeding every worker would replay the SAME augmentation
+            # stream (correlated crops/flips across batches)
+            np.random.seed((self.seed + 1) * 1000003
+                           + self.epoch * 97 + wid)
+            while True:
+                item = tq.get()
+                if item is None:
+                    return
+                bi, chunk = item
+                batch = self._bucket(self.dataset.collate_batch(
+                    [self.dataset[j] for j in chunk]))
+                rq.put((bi, batch))
+
+        procs = [ctx.Process(target=worker_loop, args=(task_q, result_q, w),
+                             daemon=True) for w in range(self.num_workers)]
+        for p in procs:
+            p.start()
+        try:
+            for bi, chunk in enumerate(batches):
+                task_q.put((bi, chunk))
+            for _ in range(self.num_workers):
+                task_q.put(None)
+            buffered, want = {}, 0
+            for _ in range(len(batches)):
+                while want not in buffered:
+                    bi, batch = result_q.get()
+                    buffered[bi] = batch
+                yield buffered.pop(want)
+                want += 1
+        finally:
+            for p in procs:
+                if p.is_alive():
+                    p.terminate()
+            for p in procs:
+                p.join(timeout=5)
+
 
 def build_dataloader(dataset_cfg, class_names, batch_size, dist=False,
                      root_path=None, workers=4, logger=None, training=True,
@@ -145,6 +208,11 @@ def build_dataloader(dataset_cfg, class_names, batch_size, dist=False,
     loader = DataLoader(
         dataset, batch_size=batch_size, shuffle=training,
         drop_last=training, num_shards=num_shards, shard_id=shard_id,
+        # workers=0/1 keeps the thread prefetcher (a fork pool with one
+        # worker only adds IPC); >1 forks a process pool, clamped to the
+        # host's core count (a pool wider than the cores just thrashes)
+        num_workers=min(workers, os.cpu_count() or 1)
+        if workers > 1 and training and (os.cpu_count() or 1) > 1 else 0,
         # eval only: the train step runs cross-replica collectives (BN
         # psums) whose programs must agree across hosts, so train keeps the
         # static capacity; eval is per-process independent

@@ -19,8 +19,9 @@ from ..utils.optimization import build_optimizer
 
 def train_model(model, variables, loader, optim_cfg, total_epochs, ckpt_dir,
                 logger, mesh=None, start_epoch=0, max_ckpt_save_num=30,
-                log_interval=20, tb_writer=None, lr_sched=None, state=None,
-                profile_dir=None, profile_steps=(10, 15), multihost=False):
+                ckpt_save_interval=1, log_interval=20, tb_writer=None,
+                lr_sched=None, state=None, profile_dir=None,
+                profile_steps=(10, 15), multihost=False):
     iters_per_epoch = len(loader)
     if state is None:
         tx, lr_sched = build_optimizer(optim_cfg, iters_per_epoch, total_epochs)
@@ -85,7 +86,11 @@ def train_model(model, variables, loader, optim_cfg, total_epochs, ckpt_dir,
         logger.info('epoch %d done in %.1fs (mean logged loss %.4f)',
                     epoch, time.time() - t_epoch,
                     np.mean(losses) if losses else float('nan'))
-        if ckpt_dir and is_main_process():
+        # save every ckpt_save_interval epochs + always the final epoch
+        # (reference tools/train.py:35 --ckpt_save_interval)
+        if ckpt_dir and is_main_process() and (
+                (epoch + 1) % ckpt_save_interval == 0
+                or epoch + 1 == total_epochs):
             save_checkpoint(state, ckpt_dir, epoch + 1,
                             max_ckpt_save_num=max_ckpt_save_num, logger=logger)
     return state

@@ -21,6 +21,9 @@ def parse_config():
     parser.add_argument('--epochs', type=int, default=None)
     parser.add_argument('--extra_tag', type=str, default='default')
     parser.add_argument('--max_ckpt_save_num', type=int, default=30)
+    parser.add_argument('--ckpt_save_interval', type=int, default=1,
+                        help='save a checkpoint every N epochs (the final '
+                             'epoch always saves; reference tools/train.py:35)')
     parser.add_argument('--workers', type=int, default=4)
     parser.add_argument('--set', dest='set_cfgs', default=None, nargs=argparse.REMAINDER)
     parser.add_argument('--synthetic', action='store_true',
@@ -121,6 +124,7 @@ def main():
     state = train_model(model, variables, loader, cfg.OPTIMIZATION, epochs,
                         str(ckpt_dir), logger, mesh=mesh,
                         max_ckpt_save_num=args.max_ckpt_save_num,
+                        ckpt_save_interval=args.ckpt_save_interval,
                         tb_writer=tb_writer,
                         profile_dir=str(output_dir / 'profile')
                         if args.profile else None, multihost=world > 1)

@@ -1,7 +1,8 @@
-"""Clip inference -> animated BEV GIF (mirrors tools/inference_video.py).
+"""Clip inference -> BEV video (mirrors tools/inference_video.py:18-100).
 
-The reference writes an .avi via cv2; headless here: per-frame BEV PNGs are
-assembled into an animated GIF with PIL.
+Writes an .avi via cv2.VideoWriter from fast uint8 BEV canvases
+(data_viz.bev_canvas), like the reference; `--output *.gif` instead
+assembles the frames into an animated GIF with PIL (headless-friendly).
 """
 
 import argparse
@@ -21,7 +22,7 @@ def main():
                    help='directory of .bin clouds; omit for synthetic scenes')
     p.add_argument('--ckpt', type=str, default=None)
     p.add_argument('--num_scenes', type=int, default=8)
-    p.add_argument('--output', type=str, default='output/inference_video.gif')
+    p.add_argument('--output', type=str, default='output/inference_video.avi')
     p.add_argument('--fps', type=int, default=5)
     p.add_argument('--cpu', action='store_true')
     args = p.parse_args()
@@ -29,14 +30,13 @@ def main():
         import jax
         jax.config.update('jax_platforms', 'cpu')
     import jax
-    from PIL import Image
 
     from lidardetection_tpu.config import cfg_from_yaml_file
     from lidardetection_tpu.datasets import build_dataloader
     from lidardetection_tpu.models import build_network
     from lidardetection_tpu.parallel.train_step import device_batch, make_eval_step
     from lidardetection_tpu.utils.common import create_logger
-    from lidardetection_tpu.utils.data_viz import plot_gt_det_cmp
+    from lidardetection_tpu.utils.data_viz import bev_canvas
 
     logger = create_logger()
     cfg = cfg_from_yaml_file(args.cfg_file)
@@ -64,24 +64,33 @@ def main():
 
     frames = []
     bev_range = cfg.DATA_CONFIG.POINT_CLOUD_RANGE
-    out_dir = Path(args.output).parent / 'video_frames'
     for i, batch in enumerate(loader):
         preds = jax.device_get(step(variables['params'],
                                     variables['batch_stats'],
                                     device_batch(batch)))
         n = int(preds['num_preds'][0])
         npts = int(batch['num_points'][0])
-        path = plot_gt_det_cmp(
-            batch['points'][0][:npts, :3], None,
-            preds['pred_boxes'][0][:n], bev_range,
-            name=f'frame_{i:04d}', save_dir=str(out_dir),
-            det_scores=preds['pred_scores'][0][:n])
-        frames.append(Image.open(path).convert('P'))
+        frames.append(bev_canvas(
+            batch['points'][0][:npts], preds['pred_boxes'][0][:n],
+            bev_range, scores=preds['pred_scores'][0][:n],
+            labels=preds['pred_labels'][0][:n], info=f'frame {i}'))
         logger.info('frame %d: %d detections', i, n)
 
     Path(args.output).parent.mkdir(parents=True, exist_ok=True)
-    frames[0].save(args.output, save_all=True, append_images=frames[1:],
-                   duration=int(1000 / args.fps), loop=0)
+    h, w = frames[0].shape[:2]
+    if args.output.endswith('.gif'):
+        from PIL import Image
+        imgs = [Image.fromarray(f[..., ::-1]).convert('P') for f in frames]
+        imgs[0].save(args.output, save_all=True, append_images=imgs[1:],
+                     duration=int(1000 / args.fps), loop=0)
+    else:
+        import cv2
+        writer = cv2.VideoWriter(args.output,
+                                 cv2.VideoWriter_fourcc(*'MJPG'),
+                                 args.fps, (w, h))
+        for f in frames:
+            writer.write(f)
+        writer.release()
     logger.info('video written: %s (%d frames)', args.output, len(frames))
 
 

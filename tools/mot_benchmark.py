@@ -56,6 +56,9 @@ def main():
     p.add_argument('--ckpt', type=str, default=None)
     p.add_argument('--num_scenes', type=int, default=8)
     p.add_argument('--with_tracking', action='store_true')
+    p.add_argument('--save_video', type=str, default=None,
+                   help='write per-frame BEV canvases to this .avi '
+                        '(reference mot_benchmark.py:219-229)')
     p.add_argument('--cpu', action='store_true')
     args = p.parse_args()
     if args.cpu:
@@ -106,6 +109,7 @@ def main():
     total_gt = np.zeros(shape)
     total_err = np.zeros(shape)
 
+    video_frames = []
     for batch in loader:
         preds = jax.device_get(step(variables['params'],
                                     variables['batch_stats'],
@@ -117,6 +121,14 @@ def main():
             det_boxes = tracked['pred_boxes']
         gt = np.asarray(batch['gt_boxes'][0])
         gt_boxes = gt[gt[:, -1] > 0][:, :7]
+        if args.save_video:
+            from lidardetection_tpu.utils.data_viz import plot_multiframe_boxes
+            npts = int(batch['num_points'][0])
+            video_frames.append(plot_multiframe_boxes(
+                batch['points'][0][:npts], det_boxes[:, :7],
+                cfg.DATA_CONFIG.POINT_CLOUD_RANGE, gt_boxes=gt_boxes,
+                scores=np.round(np.asarray(preds['pred_scores'][0][:n]), 2),
+                labels=np.asarray(preds['pred_labels'][0][:n])))
         for i, iou in enumerate(ious):
             for j, rng in enumerate(dist_ranges):
                 tp, nd, ng, err = get_metrics(gt_boxes, det_boxes, rng, iou)
@@ -132,6 +144,19 @@ def main():
             mean_err = total_err[i, j] / max(total_tp[i, j], 1)
             logger.info('iou %.1f range <%dm: recall %.3f precision %.3f '
                         'dist_err %.3fm', iou, rng, recall, precision, mean_err)
+
+    if args.save_video and video_frames:
+        import cv2
+        from pathlib import Path
+        Path(args.save_video).parent.mkdir(parents=True, exist_ok=True)
+        h, w = video_frames[0].shape[:2]
+        writer = cv2.VideoWriter(args.save_video,
+                                 cv2.VideoWriter_fourcc(*'MJPG'), 5, (w, h))
+        for f in video_frames:
+            writer.write(f)
+        writer.release()
+        logger.info('video written: %s (%d frames)', args.save_video,
+                    len(video_frames))
 
 
 if __name__ == '__main__':

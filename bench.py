@@ -186,7 +186,7 @@ class _MetricTimeout(Exception):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument('--models', default='pointpillar,pv_rcnn,train',
+    ap.add_argument('--models', default='pointpillar,second,pv_rcnn,train',
                     help='comma list: pointpillar, second, pv_rcnn, train')
     ap.add_argument('--batch_size', type=int, default=8)
     ap.add_argument('--metric_timeout', type=int, default=1500,

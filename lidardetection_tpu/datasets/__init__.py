@@ -180,7 +180,16 @@ class DataLoader:
             buffered, want = {}, 0
             for _ in range(len(batches)):
                 while want not in buffered:
-                    bi, batch = result_q.get()
+                    try:
+                        bi, batch = result_q.get(timeout=60)
+                    except queue.Empty:
+                        # a worker died mid-batch (OOM-kill etc.) would
+                        # otherwise block forever; fail loudly instead
+                        if not any(p.is_alive() for p in procs):
+                            raise RuntimeError(
+                                'all dataloader workers exited with '
+                                f'{len(batches) - want} batches pending')
+                        continue
                     buffered[bi] = batch
                 yield buffered.pop(want)
                 want += 1

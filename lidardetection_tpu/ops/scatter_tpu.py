@@ -126,7 +126,7 @@ def _tile_kernel(starts_ref, keys_a, keys_b, feats_a, feats_b, out_ref,
 
 
 def _scatter_pallas(feats, keys, n_slots, starts=None, tile=TILE,
-                    k_tiles=K_TILES):
+                    k_tiles=K_TILES, interpret=False):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -179,6 +179,7 @@ def _scatter_pallas(feats, keys, n_slots, starts=None, tile=TILE,
         functools.partial(_tile_kernel, tile=TILE, k_tiles=K_TILES),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, n_slots, c), feats.dtype),
+        interpret=interpret,
     )(starts, keys3, keys3, feats, feats)
 
 

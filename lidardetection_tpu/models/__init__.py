@@ -25,6 +25,11 @@ def build_network(model_cfg, num_class, class_names, dataset_info, axis_name=Non
     if 'FPS_SECTORS' in model_cfg:
         from ..ops.pointnet2 import set_fps_sectors
         set_fps_sectors(model_cfg['FPS_SECTORS'])
+    if 'BALL_QUERY_GRID_CELL_CAP' in model_cfg:
+        from ..ops.pointnet2 import set_ball_query_grid
+        cap = model_cfg['BALL_QUERY_GRID_CELL_CAP']
+        set_ball_query_grid(
+            None if not cap else dataset_info['point_cloud_range'], cap or 64)
     return Detector3D(
         model_cfg=model_cfg, num_class=num_class, class_names=tuple(class_names),
         dataset_info=dataset_info, axis_name=axis_name)

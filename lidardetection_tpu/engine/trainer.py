@@ -83,6 +83,10 @@ def train_model(model, variables, loader, optim_cfg, total_epochs, ckpt_dir,
             jax.block_until_ready(state.params)
             jax.profiler.stop_trace()
             profiling, prof_start = False, -1
+        # drain the async dispatch queue so the epoch time is honest (and
+        # the subsequent checkpoint's device_get isn't billed the epoch's
+        # leftover compute)
+        jax.block_until_ready(state.params)
         logger.info('epoch %d done in %.1fs (mean logged loss %.4f)',
                     epoch, time.time() - t_epoch,
                     np.mean(losses) if losses else float('nan'))

@@ -98,6 +98,15 @@ def main():
     eval_vars = {'params': restored.params,
                  'batch_stats': restored.batch_stats}
 
+    # precise-BN recalibration: this short schedule (~240 steps) leaves the
+    # momentum-0.01 BN EMAs lagging the still-drifting batch statistics;
+    # the per-layer gap compounds into eval-time garbage (see
+    # engine/bn_recalibrate.py). Population stats over the train set fix it.
+    from lidardetection_tpu.engine.bn_recalibrate import recalibrate_bn_stats
+    eval_vars = recalibrate_bn_stats(
+        model, eval_vars, loader, device_batch, n_batches=len(loader),
+        logger=logger)
+
     test_set, test_loader = build_dataloader(
         cfg.DATA_CONFIG, cfg.CLASS_NAMES, batch_size=args.batch_size,
         training=False, logger=logger, num_scenes=args.scenes, seed=0)

@@ -9,7 +9,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np
 
-from ..layers import ConvBNReLU, PairedConvBNReLU, pair_w, unpair_w
+from ..layers import ConvBNReLU
 
 
 class BaseBEVBackbone(nn.Module):
@@ -42,67 +42,35 @@ class BaseBEVBackbone(nn.Module):
         in_h = x.shape[1]
         ups = []
         out = dict(batch)
-        paired = False  # x currently in width-paired (B, H, W/2, 2C) layout
+        # NOTE perf: a width-paired (B,H,W/2,2C) layout for the 64-channel
+        # convs (fills all 128 MXU output lanes) and 1x1+depth-to-space
+        # deblocks both won their microbenches but LOST end-to-end on the
+        # chip (backbone 5.68 ms plain vs 6.35 with d2s deblocks vs 6.78
+        # paired, batch-8 eval, 2026-08-18) — the relayouts break XLA's
+        # conv fusions. Keep the plain formulation.
         for i, (n_layers, stride, nf) in enumerate(zip(layer_nums, layer_strides, num_filters)):
-            # <=64-channel 3x3 convs fill half the MXU output lanes; run
-            # those blocks in the width-paired layout (see PairedConvBNReLU)
-            cw = x.shape[2] * (2 if paired else 1)
-            pairable = (stride in (1, 2) and nf <= 64
-                        and x.shape[-1] <= (128 if paired else 64)
-                        and cw % (2 * stride) == 0)
-            if pairable and not paired:
-                x = pair_w(x)
-                paired = True
-            if paired and not pairable:
-                if (stride == 2 and nf >= 128
-                        and x.shape[2] % 1 == 0):  # paired-in upstride conv
-                    x = PairedConvBNReLU(
-                        nf, 2, unpaired_out=True, use_running_average=ra,
-                        axis_name=self.axis_name, dtype=self.dtype)(x)
-                    paired = False
-                    stride_done = True
-                else:
-                    x = unpair_w(x)
-                    paired = False
-                    stride_done = False
-            else:
-                stride_done = False
-            conv = (lambda f, s: PairedConvBNReLU(
-                        f, s, use_running_average=ra,
-                        axis_name=self.axis_name, dtype=self.dtype)) \
-                if paired else \
-                   (lambda f, s: ConvBNReLU(
-                        f, 3, s, padding=1, use_running_average=ra,
-                        axis_name=self.axis_name, dtype=self.dtype))
-            if not stride_done:
-                x = conv(nf, stride)(x)
+            conv = (lambda f, s: ConvBNReLU(
+                f, 3, s, padding=1, use_running_average=ra,
+                axis_name=self.axis_name, dtype=self.dtype))
+            x = conv(nf, stride)(x)
             for _ in range(n_layers):
                 x = conv(nf, 1)(x)
-            xu = unpair_w(x) if paired else x
-            total_stride = int(in_h / xu.shape[1])
-            out[f'spatial_features_{total_stride}x'] = xu
+            total_stride = int(in_h / x.shape[1])
+            out[f'spatial_features_{total_stride}x'] = x
             if upsample_strides:
                 us = upsample_strides[i]
                 if us >= 1:
-                    # the 1x1/k==s deblocks consume the paired layout
-                    # directly when us == 1 (a 1x1 conv on paired input is
-                    # the same matmul with block-diagonal weights — but
-                    # cheaper to just unpair: XLA folds the relayout into
-                    # the matmul operand load)
                     u = ConvBNReLU(num_upsample[i], int(us), int(us),
                                    use_running_average=ra, axis_name=self.axis_name,
-                                   transpose=True, dtype=self.dtype)(xu)
+                                   transpose=True, dtype=self.dtype)(x)
                 else:
                     ds = int(np.round(1 / us))
                     u = ConvBNReLU(num_upsample[i], ds, ds, padding=0,
                                    use_running_average=ra, axis_name=self.axis_name,
-                                   dtype=self.dtype)(xu)
+                                   dtype=self.dtype)(x)
                 ups.append(u)
             else:
-                ups.append(xu)
-        if paired:
-            x = unpair_w(x)
-            paired = False
+                ups.append(x)
 
         if len(ups) > 1:
             x = jnp.concatenate(ups, axis=-1)

@@ -156,3 +156,69 @@ def test_inverse_conv_restores_coords_and_matches_dense():
                     continue
                 acc += np.asarray(dense_down[b, o[0], o[1], o[2]]) @ np.asarray(w_up[k])
             np.testing.assert_allclose(np.asarray(up[b, v]), acc, rtol=1e-3, atol=1e-4)
+
+
+def _random_monotone_rulebook(rng, B, Vi, Vo, K, wide_col=None):
+    """Monotone-per-column rulebook with misses (= Vi), like the builders."""
+    rule = np.full((B, Vo, K), Vi, np.int32)
+    for b in range(B):
+        for k in range(K):
+            hits = rng.rand(Vo) < 0.6
+            vals = np.sort(rng.choice(Vi, size=hits.sum(), replace=False))
+            rule[b, hits, k] = vals
+    if wide_col is not None:
+        # span the whole input table inside single output tiles: exercises
+        # the kernel's dynamic tail-DMA path
+        rule[0, :, wide_col] = np.linspace(0, Vi - 1, Vo).astype(np.int32)
+    return rule
+
+
+def test_rulebook_conv_pallas_matches_xla():
+    from lidardetection_tpu.ops.sparse_conv_tpu import rulebook_conv_pallas
+
+    rng = np.random.RandomState(3)
+    B, Vi, Vo, K, C, Co = 2, 600, 500, 27, 16, 32
+    rule = _random_monotone_rulebook(rng, B, Vi, Vo, K, wide_col=5)
+    f = rng.randn(B, Vi, C).astype(np.float32)
+    w = (rng.randn(K, C, Co) * 0.1).astype(np.float32)
+    vm = np.ones((B, Vo), bool)
+    vm[:, -7:] = False
+
+    ref = np.asarray(sparse._conv_apply_xla(
+        jnp.asarray(f), jnp.asarray(vm), jnp.asarray(rule), jnp.asarray(w)))
+    for t_out, blk, n_win in ((128, 64, 2), (128, 64, 3), (256, 128, 5)):
+        out = np.asarray(rulebook_conv_pallas(
+            jnp.asarray(f), jnp.asarray(rule), jnp.asarray(w),
+            t_out=t_out, blk=blk, n_win=n_win, interpret=True))
+        out = out * vm[..., None]
+        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-4)
+
+
+def test_rulebook_columns_are_monotone():
+    """The kernel's window contract: every builder's columns ascend (among
+    hits) in the sorted-table output order."""
+    rng = np.random.RandomState(4)
+    st = make_sparse(rng, B=2, V=80, shape=(6, 14, 12), C=4, fill=60)
+
+    def assert_monotone(rule, v_in):
+        r = np.asarray(rule).astype(np.int64)
+        r[r >= v_in] = -1
+        for b in range(r.shape[0]):
+            for k in range(r.shape[2]):
+                col = r[b, :, k]
+                hits = col[col >= 0]
+                assert (np.diff(hits) > 0).all(), (b, k)
+
+    v_in = st.coords.shape[1]
+    assert_monotone(sparse.build_subm_rulebook(st), v_in)
+
+    oc, on, oshape = sparse.build_strided_out_coords(
+        st, (3, 3, 3), (2, 2, 2), (1, 1, 1), 64)
+    assert_monotone(sparse.build_strided_rulebook(
+        st, oc, oshape, (3, 3, 3), (2, 2, 2), (1, 1, 1)), v_in)
+
+    down = sparse.SparseTensor(
+        jnp.zeros((2, 64, 4)), oc, on, oshape)
+    assert_monotone(sparse.build_inverse_rulebook(
+        down, st.coords, st.spatial_shape, (3, 3, 3), (2, 2, 2), (1, 1, 1)),
+        64)

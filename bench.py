@@ -59,7 +59,7 @@ def _load(model_name, batch_size, training):
 
     dataset, loader = build_dataloader(
         cfg.DATA_CONFIG, cfg.CLASS_NAMES, batch_size=batch_size,
-        training=training, num_scenes=batch_size)
+        training=training, num_scenes=batch_size, model_cfg=cfg.MODEL)
     batch = next(iter(loader))
     model = build_network(cfg.MODEL, len(cfg.CLASS_NAMES), cfg.CLASS_NAMES,
                           dataset.dataset_info)

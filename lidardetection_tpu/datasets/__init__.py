@@ -76,6 +76,20 @@ class DataLoader:
         if m < cap:
             for k in ('voxels', 'voxel_coords', 'voxel_num_points'):
                 batch[k] = np.ascontiguousarray(batch[k][:, :m])
+        plan = getattr(self.dataset, 'sparse_plan', None)
+        if plan is not None and f'rb_{plan.ops[0].name}' in batch:
+            # bucket every downstream voxel table the same way: slice
+            # row-axes, clamp rulebook values so miss == new capacity
+            stages, rows, values = plan.bucket_spec()
+            mstage = [m]
+            for num_key, scap in stages[1:]:
+                mstage.append(min(
+                    -(-max(1, int(batch[num_key].max())) // g) * g, scap))
+            for key, s in rows:
+                if mstage[s] < batch[key].shape[1]:
+                    batch[key] = np.ascontiguousarray(batch[key][:, :mstage[s]])
+            for key, s in values:
+                np.minimum(batch[key], np.int32(mstage[s]), out=batch[key])
         return batch
 
     def set_epoch(self, epoch):
@@ -204,7 +218,8 @@ class DataLoader:
 def build_dataloader(dataset_cfg, class_names, batch_size, dist=False,
                      root_path=None, workers=4, logger=None, training=True,
                      merge_all_iters_to_one_epoch=False, total_epochs=0,
-                     num_shards=1, shard_id=0, **dataset_kwargs):
+                     num_shards=1, shard_id=0, model_cfg=None,
+                     **dataset_kwargs):
     name = dataset_cfg['DATASET']
     if name not in __all__:
         _register_lazy()
@@ -212,6 +227,10 @@ def build_dataloader(dataset_cfg, class_names, batch_size, dist=False,
     dataset = dataset_cls(
         dataset_cfg=dataset_cfg, class_names=class_names, training=training,
         root_path=root_path, logger=logger, **dataset_kwargs)
+    if model_cfg is not None:
+        # sparse 3D backbones: precompute rulebooks on the data workers
+        # (ops/sparse_plan.py) so the device path is pure gather-GEMM
+        dataset.set_sparse_plan(model_cfg)
     if merge_all_iters_to_one_epoch:
         dataset.merge_all_iters_to_one_epoch(merge=True, epochs=total_epochs)
     loader = DataLoader(

@@ -48,6 +48,20 @@ class DatasetTemplate:
         self.voxel_size = self.data_processor.voxel_size
         self.total_epochs = 0
         self._merge_all_iters_to_one_epoch = False
+        # host-side sparse rulebook plan (ops/sparse_plan.py), set by
+        # build_dataloader(model_cfg=...) when the model has a sparse
+        # 3D backbone: rulebooks are built on CPU workers per scan and ride
+        # the batch, so the device never sorts
+        self.sparse_plan = None
+
+    def set_sparse_plan(self, model_cfg):
+        """Derive and attach the host rulebook plan from a MODEL cfg."""
+        max_voxels = getattr(self.data_processor, 'max_voxels', None)
+        if self.grid_size is None or model_cfg is None or max_voxels is None:
+            return
+        from ..ops.sparse_plan import backbone_plan
+        self.sparse_plan = backbone_plan(
+            model_cfg, tuple(int(g) for g in self.grid_size), int(max_voxels))
 
     @property
     def mode(self):
@@ -114,6 +128,12 @@ class DatasetTemplate:
         data_dict = self.data_processor.forward(data_dict=data_dict)
         data_dict.pop('gt_names', None)
 
+        if self.sparse_plan is not None and 'voxel_coords' in data_dict:
+            from ..ops.sparse_plan import build_host_rulebooks
+            data_dict.update(build_host_rulebooks(
+                self.sparse_plan, data_dict['voxel_coords'],
+                data_dict['num_voxels']))
+
         # fixed-capacity gt padding (class col 0 marks padding)
         if data_dict.get('gt_boxes', None) is not None:
             gt = data_dict['gt_boxes']
@@ -146,5 +166,8 @@ class DatasetTemplate:
 
     def array_batch_keys(self):
         """Keys forwarded to the device step."""
-        return ['voxels', 'voxel_coords', 'voxel_num_points', 'num_voxels',
+        keys = ['voxels', 'voxel_coords', 'voxel_num_points', 'num_voxels',
                 'points', 'num_points', 'gt_boxes', 'bev_tile_starts']
+        if self.sparse_plan is not None:
+            keys += self.sparse_plan.batch_keys()
+        return keys

@@ -13,6 +13,7 @@ spconv_backbone.py:76-78).
 
 import flax.linen as nn
 import jax.numpy as jnp
+import numpy as np
 
 from ...ops import sparse
 from ..layers import MaskedBatchNorm
@@ -102,14 +103,23 @@ class VoxelBackBone8x(nn.Module):
         feats = batch['voxel_features']  # (B, V, C)
         coords = batch['voxel_coords']  # (B, V, 3) zyx
         cap = feats.shape[1]
+        # host-built rulebooks (ops/sparse_plan.py): the data workers ship
+        # every table; the device path is pure gather-GEMM with zero sorts
+        host = 'rb_subm1' in batch
 
-        st = sparse.from_unsorted(feats, coords, batch['num_voxels'],
-                                  spatial_shape)
+        if host:
+            # the host voxelizer emits rows already in sorted-table order
+            st = sparse.SparseTensor(feats, coords, batch['num_voxels'],
+                                     spatial_shape)
+        else:
+            st = sparse.from_unsorted(feats, coords, batch['num_voxels'],
+                                      spatial_shape)
         ax, dt = self.axis_name, self.dtype
         chans = self.backbone_channels
 
-        def subm_stack(st, channels, n_blocks, name_prefix, first_plain=False):
-            rule = sparse.build_subm_rulebook(st, (3, 3, 3))
+        def subm_stack(st, channels, n_blocks, name, first_plain=False):
+            rule = (batch[f'rb_{name}'] if host
+                    else sparse.build_subm_rulebook(st, (3, 3, 3)))
             vm = st.valid_mask
             f = st.features
             if first_plain:
@@ -125,38 +135,48 @@ class VoxelBackBone8x(nn.Module):
                         f, vm, rule, training)
             return st._replace(features=f)
 
-        def downsample(st, channels, stride, padding, kernel, capacity):
-            out_coords, out_num, out_shape = sparse.build_strided_out_coords(
-                st, kernel, stride, padding, capacity)
-            rule = sparse.build_strided_rulebook(
-                st, out_coords, out_shape, kernel, stride, padding)
+        def downsample(st, channels, stride, padding, kernel, capacity, name):
+            if host:
+                out_coords = batch[f'rb_{name}_coords']
+                out_num = batch[f'rb_{name}_num']
+                rule = batch[f'rb_{name}']
+                ks, s, p = (np.asarray(x) for x in (kernel, stride, padding))
+                out_shape = tuple(
+                    (np.asarray(st.spatial_shape) + 2 * p - (ks - 1) - 1) // s
+                    + 1)
+            else:
+                out_coords, out_num, out_shape = (
+                    sparse.build_strided_out_coords(
+                        st, kernel, stride, padding, capacity))
+                rule = sparse.build_strided_rulebook(
+                    st, out_coords, out_shape, kernel, stride, padding)
             vm = out_coords[..., 0] >= 0
             f = SparseConvLayer(channels, rule.shape[-1], axis_name=ax,
                                 dtype=dt)(st.features, vm, rule, training)
             return sparse.SparseTensor(f, out_coords, out_num, out_shape)
 
         # conv_input: SubMConv3d(C, 16) + conv1 stage
-        st = subm_stack(st, chans['x_conv1'], 1, 'conv1', first_plain=True)
+        st = subm_stack(st, chans['x_conv1'], 1, 'subm1', first_plain=True)
         x_conv1 = st
 
         st = downsample(st, chans['x_conv2'], (2, 2, 2), (1, 1, 1), (3, 3, 3),
-                        _stage_capacity(self.model_cfg, 0, cap))
-        st = subm_stack(st, chans['x_conv2'], 2, 'conv2')
+                        _stage_capacity(self.model_cfg, 0, cap), 'down2')
+        st = subm_stack(st, chans['x_conv2'], 2, 'subm2')
         x_conv2 = st
 
         st = downsample(st, chans['x_conv3'], (2, 2, 2), (1, 1, 1), (3, 3, 3),
-                        _stage_capacity(self.model_cfg, 1, cap))
-        st = subm_stack(st, chans['x_conv3'], 2, 'conv3')
+                        _stage_capacity(self.model_cfg, 1, cap), 'down3')
+        st = subm_stack(st, chans['x_conv3'], 2, 'subm3')
         x_conv3 = st
 
         st = downsample(st, chans['x_conv4'], (2, 2, 2), (0, 1, 1), (3, 3, 3),
-                        _stage_capacity(self.model_cfg, 2, cap))
-        st = subm_stack(st, chans['x_conv4'], 2, 'conv4')
+                        _stage_capacity(self.model_cfg, 2, cap), 'down4')
+        st = subm_stack(st, chans['x_conv4'], 2, 'subm4')
         x_conv4 = st
 
         # conv_out: z-compression (3,1,1)/(2,1,1), pad 0 -> stride 8 tensor
         st_out = downsample(st, 128, (2, 1, 1), (0, 0, 0), (3, 1, 1),
-                            _stage_capacity(self.model_cfg, 3, cap))
+                            _stage_capacity(self.model_cfg, 3, cap), 'out')
 
         out = dict(batch)
         out['encoded_spconv_tensor'] = sparse.sparse_to_dense(st_out)

@@ -12,6 +12,7 @@ rulebooks.
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ...core.geometry import get_voxel_centers
 from ...ops import sparse
@@ -40,11 +41,17 @@ class UNetV2(nn.Module):
         cap = feats.shape[1]
         ax, dt = self.axis_name, self.dtype
 
-        st = sparse.from_unsorted(feats, coords, batch['num_voxels'],
-                                  spatial_shape)
+        host = 'rb_subm1' in batch  # host-built rulebooks (ops/sparse_plan.py)
+        if host:
+            st = sparse.SparseTensor(feats, coords, batch['num_voxels'],
+                                     spatial_shape)
+        else:
+            st = sparse.from_unsorted(feats, coords, batch['num_voxels'],
+                                      spatial_shape)
 
-        def subm(st, channels, n_layers, first_plain=False):
-            rule = sparse.build_subm_rulebook(st, (3, 3, 3))
+        def subm(st, channels, n_layers, name, first_plain=False):
+            rule = (batch[f'rb_{name}'] if host
+                    else sparse.build_subm_rulebook(st, (3, 3, 3)))
             vm = st.valid_mask
             f = st.features
             if first_plain:
@@ -55,11 +62,21 @@ class UNetV2(nn.Module):
                     f, vm, rule, training)
             return st._replace(features=f), rule
 
-        def down(st, channels, stride, padding, kernel, capacity):
-            out_coords, out_num, out_shape = sparse.build_strided_out_coords(
-                st, kernel, stride, padding, capacity)
-            rule = sparse.build_strided_rulebook(
-                st, out_coords, out_shape, kernel, stride, padding)
+        def down(st, channels, stride, padding, kernel, capacity, name):
+            if host:
+                out_coords = batch[f'rb_{name}_coords']
+                out_num = batch[f'rb_{name}_num']
+                rule = batch[f'rb_{name}']
+                ks, s, p = (np.asarray(x) for x in (kernel, stride, padding))
+                out_shape = tuple(
+                    (np.asarray(st.spatial_shape) + 2 * p - (ks - 1) - 1) // s
+                    + 1)
+            else:
+                out_coords, out_num, out_shape = (
+                    sparse.build_strided_out_coords(
+                        st, kernel, stride, padding, capacity))
+                rule = sparse.build_strided_rulebook(
+                    st, out_coords, out_shape, kernel, stride, padding)
             vm = out_coords[..., 0] >= 0
             f = SparseConvLayer(channels, rule.shape[-1], axis_name=ax,
                                 dtype=dt)(st.features, vm, rule, training)
@@ -67,19 +84,19 @@ class UNetV2(nn.Module):
             return sparse.SparseTensor(f, out_coords, out_num, out_shape), geom
 
         # ---- encoder (mirrors VoxelBackBone8x / spconv_unet.py:64-106) ----
-        st, rule1 = subm(st, 16, 1, first_plain=True)
+        st, rule1 = subm(st, 16, 1, 'subm1', first_plain=True)
         x_conv1 = st
         st2, geom2 = down(st, 32, (2, 2, 2), (1, 1, 1), (3, 3, 3),
-                          _stage_capacity(self.model_cfg, 0, cap))
-        st2, rule2 = subm(st2, 32, 2)
+                          _stage_capacity(self.model_cfg, 0, cap), 'down2')
+        st2, rule2 = subm(st2, 32, 2, 'subm2')
         x_conv2 = st2
         st3, geom3 = down(st2, 64, (2, 2, 2), (1, 1, 1), (3, 3, 3),
-                          _stage_capacity(self.model_cfg, 1, cap))
-        st3, rule3 = subm(st3, 64, 2)
+                          _stage_capacity(self.model_cfg, 1, cap), 'down3')
+        st3, rule3 = subm(st3, 64, 2, 'subm3')
         x_conv3 = st3
         st4, geom4 = down(st3, 64, (2, 2, 2), (0, 1, 1), (3, 3, 3),
-                          _stage_capacity(self.model_cfg, 2, cap))
-        st4, rule4 = subm(st4, 64, 2)
+                          _stage_capacity(self.model_cfg, 2, cap), 'down4')
+        st4, rule4 = subm(st4, 64, 2, 'subm4')
         x_conv4 = st4
 
         out = dict(batch)
@@ -87,13 +104,14 @@ class UNetV2(nn.Module):
             last_pad = self.model_cfg.get('last_pad', 0)
             st_out, _ = down(st4, 128, (2, 1, 1),
                              (last_pad, last_pad, last_pad), (3, 1, 1),
-                             _stage_capacity(self.model_cfg, 3, cap))
+                             _stage_capacity(self.model_cfg, 3, cap), 'out')
             out['encoded_spconv_tensor'] = sparse.sparse_to_dense(st_out)
             out['encoded_spconv_tensor_stride'] = 8
 
         # ---- decoder (UR_block_forward, spconv_unet.py:134-143) ----
         def ur_block(lateral, lateral_rule, bottom_feats, channels,
-                     up_st=None, geom=None, inv_out=None, last=False):
+                     up_st=None, geom=None, inv_out=None, inv_name=None,
+                     last=False):
             """x_lateral/bottom at the same coords; inverse conv lifts to
             up_st's coords (or a subm conv5 when last)."""
             vm = lateral.valid_mask
@@ -110,10 +128,13 @@ class UNetV2(nn.Module):
             if last:
                 return SparseConvLayer(channels, 27, axis_name=ax, dtype=dt)(
                     x, vm, lateral_rule, training)
-            kernel, stride, padding = geom
-            inv_rule = sparse.build_inverse_rulebook(
-                lateral._replace(features=x), up_st.coords,
-                up_st.spatial_shape, kernel, stride, padding)
+            if host:
+                inv_rule = batch[f'rb_{inv_name}']
+            else:
+                kernel, stride, padding = geom
+                inv_rule = sparse.build_inverse_rulebook(
+                    lateral._replace(features=x), up_st.coords,
+                    up_st.spatial_shape, kernel, stride, padding)
             return SparseConvLayer(inv_out, inv_rule.shape[-1], axis_name=ax,
                                    dtype=dt)(x, up_st.valid_mask, inv_rule,
                                              training)
@@ -121,11 +142,12 @@ class UNetV2(nn.Module):
         # decoder channel plan (spconv_unet.py:110-131):
         # inv4: 64->64, inv3: 64->32, inv2: 32->16, final conv5: 16->16
         x_up4 = ur_block(x_conv4, rule4, x_conv4.features, 64,
-                         up_st=x_conv3, geom=geom4, inv_out=64)
+                         up_st=x_conv3, geom=geom4, inv_out=64,
+                         inv_name='inv4')
         x_up3 = ur_block(x_conv3, rule3, x_up4, 64, up_st=x_conv2,
-                         geom=geom3, inv_out=32)
+                         geom=geom3, inv_out=32, inv_name='inv3')
         x_up2 = ur_block(x_conv2, rule2, x_up3, 32, up_st=x_conv1,
-                         geom=geom2, inv_out=16)
+                         geom=geom2, inv_out=16, inv_name='inv2')
         x_up1 = ur_block(x_conv1, rule1, x_up2, 16, last=True)
 
         centers = jax.vmap(lambda c: get_voxel_centers(

@@ -18,7 +18,7 @@ from pathlib import Path
 import numpy as np
 
 _HERE = Path(__file__).resolve().parent
-_SRC = _HERE / 'voxelizer.cpp'
+_SRCS = [_HERE / 'voxelizer.cpp', _HERE / 'rulebooks.cpp']
 _SO = _HERE / '_build' / 'libnative.so'
 _lock = threading.Lock()
 _lib = None
@@ -28,7 +28,7 @@ _tried = False
 def _build():
     _SO.parent.mkdir(exist_ok=True)
     cmd = ['g++', '-O3', '-shared', '-fPIC', '-std=c++17',
-           str(_SRC), '-o', str(_SO)]
+           *[str(s) for s in _SRCS], '-o', str(_SO)]
     subprocess.run(cmd, check=True, capture_output=True, text=True)
 
 
@@ -44,13 +44,15 @@ def load():
         if os.environ.get('LIDARDET_TPU_DISABLE_NATIVE'):
             return None
         try:
-            if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
+            src_mtime = max(s.stat().st_mtime for s in _SRCS)
+            if not _SO.exists() or _SO.stat().st_mtime < src_mtime:
                 _build()
             lib = ctypes.CDLL(str(_SO))
         except (OSError, subprocess.CalledProcessError):
             return None
         f32p = ctypes.POINTER(ctypes.c_float)
         i32p = ctypes.POINTER(ctypes.c_int32)
+        i64p = ctypes.POINTER(ctypes.c_int64)
         lib.voxelize_f32.restype = ctypes.c_int32
         lib.voxelize_f32.argtypes = [
             f32p, ctypes.c_int64, ctypes.c_int32, f32p, f32p,
@@ -58,6 +60,10 @@ def load():
         lib.rotated_iou_bev.restype = None
         lib.rotated_iou_bev.argtypes = [
             f32p, ctypes.c_int64, f32p, ctypes.c_int64, ctypes.c_int32, f32p]
+        lib.build_rulebooks.restype = ctypes.c_int32
+        lib.build_rulebooks.argtypes = [
+            i32p, ctypes.c_int32, ctypes.c_int32, i64p, i32p,
+            ctypes.c_int32, i32p, i32p, i32p]
         _lib = lib
         return _lib
 
@@ -88,6 +94,30 @@ def voxelize_native(points, point_cloud_range, voxel_size,
         max_points_per_voxel, max_voxels, int(sort_rows),
         _f32p(voxels), _i32p(coords), _i32p(num_points))
     return voxels, coords, num_points, int(n_vox)
+
+
+def build_rulebooks_native(coords, n_vox, cap_in, spatial_shape, plan_records,
+                           total_rb, total_oc, n_down):
+    """Native sparse rulebook chain (rulebooks.cpp); see ops/sparse_plan.py.
+
+    Returns (rb_buf, oc_buf, on_buf) flat int32 arrays, or raises if the
+    library is unavailable (callers check native.load() first).
+    """
+    lib = load()
+    coords = np.ascontiguousarray(coords, dtype=np.int32)
+    spatial = np.ascontiguousarray(spatial_shape, dtype=np.int64)
+    plan = np.ascontiguousarray(plan_records, dtype=np.int32)
+    rb_buf = np.empty(total_rb, np.int32)
+    oc_buf = np.empty(max(total_oc, 1), np.int32)
+    on_buf = np.empty(max(n_down, 1), np.int32)
+    rc = lib.build_rulebooks(
+        _i32p(coords), int(n_vox), int(cap_in),
+        spatial.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        _i32p(plan), plan.shape[0], _i32p(rb_buf), _i32p(oc_buf),
+        _i32p(on_buf))
+    if rc != 0:
+        raise ValueError(f'build_rulebooks failed (rc={rc})')
+    return rb_buf, oc_buf[:total_oc], on_buf[:n_down]
 
 
 def rotated_iou_bev_native(boxes_a, boxes_b, criterion=-1):

@@ -42,7 +42,7 @@ def main():
 
     dataset, loader = build_dataloader(
         cfg.DATA_CONFIG, cfg.CLASS_NAMES, batch_size=args.batch_size,
-        training=False, num_scenes=args.batch_size)
+        training=False, num_scenes=args.batch_size, model_cfg=cfg.MODEL)
     batch = next(iter(loader))
     model = build_network(cfg.MODEL, len(cfg.CLASS_NAMES), cfg.CLASS_NAMES,
                           dataset.dataset_info)

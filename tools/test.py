@@ -70,7 +70,7 @@ def main():
 
     dataset, loader = build_dataloader(
         cfg.DATA_CONFIG, cfg.CLASS_NAMES, batch_size=batch_size,
-        training=False, logger=logger, **extra)
+        training=False, logger=logger, model_cfg=cfg.MODEL, **extra)
     model = build_network(cfg.MODEL, len(cfg.CLASS_NAMES), cfg.CLASS_NAMES,
                           dataset.dataset_info)
     batch0 = next(iter(loader))

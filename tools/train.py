@@ -103,7 +103,7 @@ def main():
     dataset, loader = build_dataloader(
         cfg.DATA_CONFIG, cfg.CLASS_NAMES, batch_size=local_batch,
         training=True, logger=logger, workers=args.workers,
-        num_shards=world, shard_id=rank, **extra)
+        num_shards=world, shard_id=rank, model_cfg=cfg.MODEL, **extra)
     model = build_network(cfg.MODEL, len(cfg.CLASS_NAMES), cfg.CLASS_NAMES,
                           dataset.dataset_info)
     batch0 = next(iter(loader))
@@ -133,7 +133,7 @@ def main():
         test_set, test_loader = build_dataloader(
             cfg.DATA_CONFIG, cfg.CLASS_NAMES, batch_size=local_batch,
             training=False, logger=logger, num_shards=world, shard_id=rank,
-            **extra)
+            model_cfg=cfg.MODEL, **extra)
         variables = {'params': state.params, 'batch_stats': state.batch_stats}
         result, _annos = eval_one_epoch(
             model, variables, test_loader, cfg.MODEL.POST_PROCESSING,

@@ -78,7 +78,8 @@ def main():
 
     dataset, loader = build_dataloader(
         cfg.DATA_CONFIG, cfg.CLASS_NAMES, batch_size=args.batch_size,
-        training=True, logger=logger, num_scenes=args.scenes, seed=0)
+        training=True, logger=logger, num_scenes=args.scenes, seed=0,
+        model_cfg=cfg.MODEL)
     model = build_network(cfg.MODEL, len(cfg.CLASS_NAMES), cfg.CLASS_NAMES,
                           dataset.dataset_info)
     batch0 = next(iter(loader))
@@ -109,7 +110,8 @@ def main():
 
     test_set, test_loader = build_dataloader(
         cfg.DATA_CONFIG, cfg.CLASS_NAMES, batch_size=args.batch_size,
-        training=False, logger=logger, num_scenes=args.scenes, seed=0)
+        training=False, logger=logger, num_scenes=args.scenes, seed=0,
+        model_cfg=cfg.MODEL)
     result, _annos = eval_one_epoch(
         model, eval_vars, test_loader, cfg.MODEL.POST_PROCESSING,
         cfg.CLASS_NAMES, logger, result_dir=str(out / 'eval'))

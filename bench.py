@@ -14,6 +14,7 @@ counts to cancel the dispatch overhead.
 """
 
 import argparse
+import functools
 import json
 import signal
 import time
@@ -96,10 +97,13 @@ def bench_eval(model_name, batch_size=8):
     num_class = len(cfg.CLASS_NAMES)
 
     @jax.jit
-    def chain(n):
-        # voxels ride the loop carry with a single-element perturbation so
-        # XLA cannot elide or overlap iterations; a full `voxels + carry`
-        # would materialize a fresh 168 MB array per iteration
+    def chain(db, n):
+        # db rides as an ARGUMENT (closure-captured device arrays embed as
+        # HLO literals — 250 MB of host rulebooks overflowed the axon
+        # remote-compile body); voxels ride the loop carry with a
+        # single-element perturbation so XLA cannot elide or overlap
+        # iterations (a full `voxels + carry` would materialize a fresh
+        # 168 MB array per iteration)
         def body(_, state):
             vox, carry = state
             vox = vox.at[0, 0, 0, 3].add(carry * 1e-12)
@@ -112,7 +116,7 @@ def bench_eval(model_name, batch_size=8):
             0, n, body, (db['voxels'], jnp.float32(0.0)))
         return out
 
-    dt = _slope_time(chain)
+    dt = _slope_time(functools.partial(chain, db))
     scans = batch_size / dt
     return {
         'metric': f'{model_name}_scans_per_sec_per_chip',
@@ -146,7 +150,9 @@ def bench_train(model_name='pointpillar', batch_size=8):
         flops = 0.0
 
     @jax.jit
-    def chain(n):
+    def chain(state, db, n):
+        # state/db as ARGUMENTS: closure-captured device arrays embed as
+        # HLO literals and can overflow the axon remote-compile body
         def body(_, st):
             st2, _tb = step(st, db)
             return st2
@@ -167,7 +173,7 @@ def bench_train(model_name='pointpillar', batch_size=8):
         jax.block_until_ready(st.params)
         dt = (time.perf_counter() - t0) / 3
     else:
-        dt = _slope_time(chain, n1=10, n2=40)
+        dt = _slope_time(functools.partial(chain, state, db), n1=10, n2=40)
     scans = batch_size / dt
     out = {
         'metric': f'{model_name}_train_scans_per_sec_per_chip',

@@ -46,8 +46,10 @@ DEVICE_KEYS = ('voxels', 'voxel_coords', 'voxel_num_points', 'num_voxels',
 def device_batch(batch):
     """Select the array keys the jitted step consumes
     (the host->device contract, replacing load_data_to_gpu,
-    pcdet/models/__init__.py:16-22)."""
-    return {k: batch[k] for k in DEVICE_KEYS if k in batch}
+    pcdet/models/__init__.py:16-22). rb_* keys are the host-built sparse
+    rulebooks (ops/sparse_plan.py)."""
+    return {k: batch[k] for k in batch
+            if k in DEVICE_KEYS or k.startswith('rb_')}
 
 
 def make_train_step(model, mesh=None, axis_name='data', donate=True):

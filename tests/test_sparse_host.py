@@ -143,11 +143,19 @@ def test_second_e2e_host_vs_device_rulebooks():
     model = build_network(cfg.MODEL, len(cfg.CLASS_NAMES), cfg.CLASS_NAMES,
                           dataset.dataset_info)
     db_host = device_batch(batch)
+    assert any(k.startswith('rb_') for k in db_host), \
+        'device_batch dropped the host rulebooks'
     db_dev = {k: v for k, v in db_host.items() if not k.startswith('rb_')}
     variables = model.init(jax.random.PRNGKey(0), db_dev, training=False)
 
     out_dev = model.apply(variables, db_dev, training=False)
-    out_host = model.apply(variables, db_host, training=False)
+    # the host-rulebook forward must never fall back to device builders
+    import unittest.mock as mock
+    with mock.patch.object(sparse, 'build_subm_rulebook',
+                           side_effect=AssertionError('device build used')), \
+         mock.patch.object(sparse, 'build_strided_out_coords',
+                           side_effect=AssertionError('device build used')):
+        out_host = model.apply(variables, db_host, training=False)
     np.testing.assert_allclose(
         np.asarray(out_host['encoded_spconv_tensor']),
         np.asarray(out_dev['encoded_spconv_tensor']), rtol=1e-5, atol=1e-5)

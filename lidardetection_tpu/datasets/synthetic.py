@@ -24,9 +24,48 @@ CLASS_Z = {'Car': -1.0, 'Pedestrian': -0.73, 'Cyclist': -0.73,
 _DEFAULT_SIZE, _DEFAULT_Z = (4.0, 1.8, 1.6), -1.0  # unknown class fallback
 
 
+def _beam_ground(rng, point_cloud_range, num_ground):
+    """Ground returns of a spinning lidar: concentric per-beam rings.
+
+    Real scans (HDL-64-class sensors, the KITTI recording rig) cluster
+    ground points along per-beam rings with radial density falloff —
+    neighboring returns share voxels and stride-2 sparse stages SHRINK.
+    The previous uniform scatter was the adversarial worst case for the
+    sparse backbones (every point an isolated voxel that dilates up to 8x
+    per downsample), saturating every stage capacity; no physical sensor
+    produces it.
+    """
+    x1, y1, z1, x2, y2, z2 = (float(v) for v in point_cloud_range[:6])
+    h = 1.73  # sensor height above ground
+    elev = np.deg2rad(np.linspace(-24.9, -1.8, 64))  # beam elevations
+    radii = h / np.tan(-elev)
+    r_max = float(np.hypot(max(abs(x1), abs(x2)), max(abs(y1), abs(y2))))
+    radii = radii[radii < r_max]
+    dphi = np.deg2rad(0.2)  # sensor azimuth resolution
+    phis = np.arange(-np.pi, np.pi, dphi)
+    r = np.repeat(radii, len(phis))
+    phi = np.tile(phis, len(radii))
+    # surface roughness: range + height jitter
+    r = r * (1.0 + rng.randn(r.size) * 0.004)
+    phi = phi + rng.randn(r.size) * (dphi * 0.1)
+    x = r * np.cos(phi)
+    y = r * np.sin(phi)
+    inside = (x > x1) & (x < x2) & (y > y1) & (y < y2)
+    x, y = x[inside], y[inside]
+    if x.size > num_ground:
+        # thin by striding the flattened az order: keeps ring structure
+        # (uniform arc spacing) instead of random gaps
+        step = x.size / num_ground
+        keep = (np.arange(num_ground) * step).astype(np.int64)
+        x, y = x[keep], y[keep]
+    z = np.full_like(x, -h) + rng.randn(x.size) * 0.03
+    inten = rng.rand(x.size)
+    return np.stack([x, y, z, inten], axis=1)
+
+
 def make_scene(rng, point_cloud_range, num_objects=8, points_per_obj=120,
-               num_ground=8000, class_names=('Car', 'Pedestrian', 'Cyclist')):
-    """One scene: ground-plane clutter + points on object box surfaces."""
+               num_ground=18000, class_names=('Car', 'Pedestrian', 'Cyclist')):
+    """One scene: beam-ring ground returns + points on object box surfaces."""
     x1, y1, z1, x2, y2, z2 = point_cloud_range
     gt_boxes, gt_names, obj_points = [], [], []
     for _ in range(num_objects):
@@ -69,11 +108,7 @@ def make_scene(rng, point_cloud_range, num_objects=8, points_per_obj=120,
         inten = rng.rand(n).astype(np.float32)
         obj_points.append(np.stack([px, py, pz, inten], axis=1))
 
-    gx = rng.uniform(x1, x2, num_ground)
-    gy = rng.uniform(y1, y2, num_ground)
-    gz = rng.normal(-1.8, 0.05, num_ground)
-    gi = rng.rand(num_ground)
-    ground = np.stack([gx, gy, gz, gi], axis=1)
+    ground = _beam_ground(rng, point_cloud_range, num_ground)
     points = np.concatenate([ground] + obj_points, axis=0).astype(np.float32)
     return points, np.array(gt_boxes, np.float32), np.array(gt_names)
 

@@ -157,11 +157,24 @@ def sparse_conv_apply(features, valid_mask, rulebook, weights):
     if jax.devices()[0].platform != 'tpu':
         return _conv_apply_xla(features, valid_mask, rulebook, weights)
 
-    from .sparse_conv_tpu import rulebook_conv_pallas
+    import os
+
+    from . import sparse_conv_tpu
+
+    variant = os.environ.get('LDTPU_SPARSE_KERNEL', 'v3')
+    if variant == 'v2':
+        kernel = sparse_conv_tpu.rulebook_conv_pallas_v2
+    elif variant == 'v3':
+        n_k = rulebook.shape[-1]
+        kz = 3 if n_k % 3 == 0 else 1
+        kernel = functools.partial(
+            sparse_conv_tpu.rulebook_conv_pallas_v3, kernel_z=kz)
+    else:
+        kernel = sparse_conv_tpu.rulebook_conv_pallas
 
     @jax.custom_vjp
     def apply(f, w):
-        out = rulebook_conv_pallas(f, rulebook, w)
+        out = kernel(f, rulebook, w)
         return out * valid_mask[..., None]
 
     def fwd(f, w):

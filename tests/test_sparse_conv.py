@@ -194,6 +194,58 @@ def test_rulebook_conv_pallas_matches_xla():
         np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-4)
 
 
+def test_rulebook_conv_pallas_v2_matches_xla():
+    from lidardetection_tpu.ops.sparse_conv_tpu import rulebook_conv_pallas_v2
+
+    rng = np.random.RandomState(7)
+    B, Vi, Vo, K, C, Co = 2, 600, 500, 27, 16, 32
+    rule = _random_monotone_rulebook(rng, B, Vi, Vo, K, wide_col=5)
+    f = rng.randn(B, Vi, C).astype(np.float32)
+    w = (rng.randn(K, C, Co) * 0.1).astype(np.float32)
+    vm = np.ones((B, Vo), bool)
+    vm[:, -7:] = False
+
+    ref = np.asarray(sparse._conv_apply_xla(
+        jnp.asarray(f), jnp.asarray(vm), jnp.asarray(rule), jnp.asarray(w)))
+    for t_out, blk, n_win in ((128, 64, 2), (128, 128, 2), (256, 128, 3)):
+        out = np.asarray(rulebook_conv_pallas_v2(
+            jnp.asarray(f), jnp.asarray(rule), jnp.asarray(w),
+            t_out=t_out, blk=blk, n_win=n_win, interpret=True))
+        out = out * vm[..., None]
+        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-4)
+
+
+def test_rulebook_conv_pallas_v3_matches_xla():
+    from lidardetection_tpu.ops.sparse_conv_tpu import rulebook_conv_pallas_v3
+
+    rng = np.random.RandomState(11)
+    B, Vi, Vo, K, C, Co = 2, 600, 500, 27, 16, 32
+    rule = _random_monotone_rulebook(rng, B, Vi, Vo, K, wide_col=5)
+    f = rng.randn(B, Vi, C).astype(np.float32)
+    w = (rng.randn(K, C, Co) * 0.1).astype(np.float32)
+    vm = np.ones((B, Vo), bool)
+    vm[:, -7:] = False
+
+    ref = np.asarray(sparse._conv_apply_xla(
+        jnp.asarray(f), jnp.asarray(vm), jnp.asarray(rule), jnp.asarray(w)))
+    for t_out, blk, n_wg in ((128, 64, 3), (128, 128, 2), (256, 128, 4)):
+        out = np.asarray(rulebook_conv_pallas_v3(
+            jnp.asarray(f), jnp.asarray(rule), jnp.asarray(w), kernel_z=3,
+            t_out=t_out, blk=blk, n_wg=n_wg, interpret=True))
+        out = out * vm[..., None]
+        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-4)
+
+    # z-compression kernel shape (K=3, one offset per group)
+    rule3 = _random_monotone_rulebook(rng, B, Vi, Vo, 3)
+    w3 = (rng.randn(3, C, Co) * 0.1).astype(np.float32)
+    ref3 = np.asarray(sparse._conv_apply_xla(
+        jnp.asarray(f), jnp.asarray(vm), jnp.asarray(rule3), jnp.asarray(w3)))
+    out3 = np.asarray(rulebook_conv_pallas_v3(
+        jnp.asarray(f), jnp.asarray(rule3), jnp.asarray(w3), kernel_z=3,
+        t_out=128, blk=64, n_wg=3, interpret=True)) * vm[..., None]
+    np.testing.assert_allclose(out3, ref3, rtol=1e-5, atol=1e-4)
+
+
 def test_rulebook_columns_are_monotone():
     """The kernel's window contract: every builder's columns ascend (among
     hits) in the sorted-table output order."""

@@ -105,11 +105,10 @@ def main():
             op_in[op.match] if op.type == 'inv' else op_in[i])
         vm = jnp.asarray(vm_of_stage[out_stage])
         cin, cout = chan.get(op.name, (64, 64))
-        feats = jnp.asarray(
-            rng.standard_normal((args.batch_size, vin, cin), np.float32)
-            .astype(np.bfloat16))
+        feats = jnp.asarray(rng.standard_normal(
+            (args.batch_size, vin, cin), np.float32)).astype(jnp.bfloat16)
         w = jnp.asarray(rng.standard_normal(
-            (rule.shape[-1], cin, cout), np.float32).astype(np.bfloat16))
+            (rule.shape[-1], cin, cout), np.float32)).astype(jnp.bfloat16)
         ms = timed(conv_chain(feats, vm, rule, w), feats, vm, rule, w)
         n_layers = layers_per.get(op.name, 1)
         total += ms * n_layers

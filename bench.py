@@ -34,7 +34,9 @@ def _load(model_name, batch_size, training):
     from lidardetection_tpu.config import cfg_from_yaml_file
     from lidardetection_tpu.datasets import build_dataloader
     from lidardetection_tpu.models import build_network
-    from lidardetection_tpu.parallel.train_step import device_batch
+    from lidardetection_tpu.parallel.train_step import (
+        device_batch, jit_init,
+    )
 
     cfg = cfg_from_yaml_file(f'tools/cfgs/kitti_models/{model_name}.yaml')
     cfg.DATA_CONFIG.DATASET = 'SyntheticDataset'
@@ -65,7 +67,7 @@ def _load(model_name, batch_size, training):
     model = build_network(cfg.MODEL, len(cfg.CLASS_NAMES), cfg.CLASS_NAMES,
                           dataset.dataset_info)
     db = device_batch(batch)
-    variables = model.init(jax.random.PRNGKey(0), db, training=False)
+    variables = jit_init(model, db)
     db = jax.device_put(db)
     return cfg, model, variables, db
 

@@ -75,10 +75,14 @@ class PointnetSAModuleMSG(nn.Module):
             center_valid = jnp.ones((b, 1), bool)
 
         outs = []
-        for radius, nsample, mlp in zip(self.radii, self.nsamples, self.mlps):
+        if self.npoint is not None:
+            # one grid + candidate gather shared across the MSG radii
+            queries = p2.ball_query_multi(self.radii, self.nsamples, xyz,
+                                          xyz_num, new_xyz, center_valid)
+        for ri, (radius, nsample, mlp) in enumerate(
+                zip(self.radii, self.nsamples, self.mlps)):
             if self.npoint is not None:
-                idx, empty = p2.ball_query(radius, nsample, xyz, xyz_num,
-                                           new_xyz, center_valid)
+                idx, empty = queries[ri]
                 grouped_xyz = p2.group_points(xyz, idx) - new_xyz[:, :, None, :]
                 grouped = grouped_xyz
                 if features is not None:

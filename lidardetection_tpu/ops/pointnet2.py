@@ -266,6 +266,119 @@ def ball_query(radius, nsample, xyz, xyz_num, new_xyz, new_xyz_valid=None):
     return jax.vmap(one)(xyz, xyz_num, new_xyz, new_xyz_valid)
 
 
+def ball_query_multi(radii, nsamples, xyz, xyz_num, new_xyz,
+                     new_xyz_valid=None):
+    """Ball query for several radii over the same sources and centers.
+
+    On TPU with the grid path engaged this shares one grid + candidate
+    gather across all radii (see grid_ball_query_multi); otherwise it is
+    per-radius `ball_query`. Returns [(idx, empty)] per radius.
+    """
+    if (BALL_QUERY_GRID is not None
+            and xyz.shape[1] >= _GRID_MIN_SOURCES
+            and jax.default_backend() == 'tpu'):
+        bounds, cap = BALL_QUERY_GRID
+        return grid_ball_query_multi(radii, nsamples, xyz, xyz_num, new_xyz,
+                                     new_xyz_valid, bounds=bounds,
+                                     cell_cap=cap)
+    return [ball_query(r, ns, xyz, xyz_num, new_xyz, new_xyz_valid)
+            for r, ns in zip(radii, nsamples)]
+
+
+def grid_ball_query_multi(radii, nsamples, xyz, xyz_num, new_xyz,
+                          new_xyz_valid=None, bounds=None, cell_cap=64):
+    """Multi-radius grid ball query sharing ONE grid + candidate gather.
+
+    The (M, 27*cell_cap) candidate row gather is the dominant cost of
+    `grid_ball_query` on TPU (XLA serialises row gathers); MSG set
+    abstraction calls it once per radius over the SAME sources and centers.
+    Building the grid at cell = max(radii) keeps the in-radius guarantee for
+    every smaller radius (any r <= cell stays within the 3x3x3 cell
+    neighborhood), so candidates, distances and index gathers are computed
+    once and only the final distance test + top-k run per radius.
+
+    Returns a list of (idx (B, M, nsample_i), empty (B, M)) pairs, one per
+    radius, each matching `ball_query`'s contract.
+    """
+    assert bounds is not None, 'grid_ball_query needs a static range'
+    x0, y0, z0, x1, y1, z1 = (float(v) for v in bounds)
+    cell = float(max(radii))
+    gx = max(int(np.ceil((x1 - x0) / cell)), 1)
+    gy = max(int(np.ceil((y1 - y0) / cell)), 1)
+    gz = max(int(np.ceil((z1 - z0) / cell)), 1)
+    n_cells = gx * gy * gz
+    origin = jnp.asarray([x0, y0, z0], jnp.float32)
+    dims = jnp.asarray([gx, gy, gz], jnp.int32)
+
+    def cell_of(p):
+        c = jnp.floor((p - origin) / cell).astype(jnp.int32)
+        return jnp.clip(c, 0, dims - 1)
+
+    def cell_key(c):
+        return (c[..., 2] * gy + c[..., 1]) * gx + c[..., 0]
+
+    off = jnp.asarray(
+        [[dx, dy, dz] for dz in (-1, 0, 1) for dy in (-1, 0, 1)
+         for dx in (-1, 0, 1)], jnp.int32)  # (27, 3)
+
+    def one(src, n, centers, cvalid):
+        nn_ = src.shape[0]
+        valid = jnp.arange(nn_) < n
+        ck = jnp.where(valid, cell_key(cell_of(src)), n_cells)
+        order = jnp.argsort(ck, stable=True).astype(jnp.int32)
+        sk = ck[order]
+        src_sorted = src[order]
+
+        cc = cell_of(centers)  # (M, 3)
+        nb = cc[:, None, :] + off[None, :, :]
+        ok_cell = jnp.all((nb >= 0) & (nb < dims), axis=-1)
+        nk = jnp.where(ok_cell, cell_key(nb), n_cells + 1)
+        start = jnp.searchsorted(sk, nk.reshape(-1),
+                                 method='sort').astype(jnp.int32)
+        end = jnp.searchsorted(sk, (nk + 1).reshape(-1), side='left',
+                               method='sort').astype(jnp.int32)
+        start = start.reshape(nk.shape)
+        end = jnp.minimum(end.reshape(nk.shape), start + cell_cap)
+        rows = start[..., None] + jnp.arange(cell_cap, dtype=jnp.int32)
+        live = rows < end[..., None]
+        rows = jnp.minimum(rows, nn_ - 1).reshape(centers.shape[0], -1)
+        live = live.reshape(centers.shape[0], -1)
+
+        # per-coordinate gathers: a fused (M, C27, 3) xyz gather materializes
+        # an [M*C27, 3] intermediate whose minor dim XLA:TPU lane-pads 3 ->
+        # 128 (13.5 GB at VSA shapes); three (M, C27) planes stay unpadded
+        d2 = jnp.zeros(rows.shape, jnp.float32)
+        for dim in range(3):
+            d2 = d2 + (src_sorted[:, dim][rows] - centers[:, dim:dim + 1]) ** 2
+        orig = order[rows]
+        neg_orig = -orig.astype(jnp.float32)
+
+        results = []
+        for radius, nsample in zip(radii, nsamples):
+            hit = live & (d2 < float(radius) ** 2)
+            if cvalid is not None:
+                hit = hit & cvalid[:, None]
+            score = jnp.where(hit, neg_orig, -jnp.inf)
+            k = min(nsample, score.shape[1])
+            top, _ = jax.lax.top_k(score, k)
+            if k < nsample:
+                top = jnp.pad(top, ((0, 0), (0, nsample - k)),
+                              constant_values=-jnp.inf)
+            got = jnp.isfinite(top)
+            out = jnp.where(got, (-top).astype(jnp.int32), 0)
+            empty = got.sum(axis=1) <= 0
+            fill = jnp.where(empty, 0, out[:, 0])
+            results.append((jnp.where(got, out, fill[:, None]), empty))
+        return tuple(results)
+
+    if new_xyz_valid is None:
+        out = jax.vmap(lambda s, n, c: one(s, n, c, None))(
+            xyz, xyz_num, new_xyz)
+    else:
+        out = jax.vmap(one)(xyz, xyz_num, new_xyz, new_xyz_valid)
+    return list(out)
+
+
 def grid_ball_query(radius, nsample, xyz, xyz_num, new_xyz,
                     new_xyz_valid=None, bounds=None, cell_cap=64):
     """Ball query through a static 3D cell grid (cells of size `radius`).
@@ -343,8 +456,11 @@ def grid_ball_query(radius, nsample, xyz, xyz_num, new_xyz,
         rows = jnp.minimum(rows, nn_ - 1).reshape(centers.shape[0], -1)
         live = live.reshape(centers.shape[0], -1)  # (M, 27*cap)
 
-        cand_xyz = src_sorted[rows]  # (M, C27, 3)
-        d2 = jnp.sum((cand_xyz - centers[:, None, :]) ** 2, axis=-1)
+        # per-coordinate gathers (see grid_ball_query_multi: a fused xyz
+        # gather lane-pads its [M*C27, 3] intermediate 3 -> 128 on TPU)
+        d2 = jnp.zeros(rows.shape, jnp.float32)
+        for dim in range(3):
+            d2 = d2 + (src_sorted[:, dim][rows] - centers[:, dim:dim + 1]) ** 2
         orig = order[rows]  # original indices
         hit = live & (d2 < r2)
         if cvalid is not None:

@@ -268,7 +268,9 @@ def _prep_group(rulebook, v_in, t_out, blk, n_blocks, n_wg, n_groups):
     lob = jnp.clip(lo // blk, 0, n_blocks - 1)
     lo_g = jnp.min(lob.reshape(bsz, n_groups, m, nt), axis=2)
     qg = jnp.clip(lo_g, 0, n_blocks - n_wg).astype(jnp.int32)
-    eb = jnp.clip(hi // blk + 1, 0, n_blocks).astype(jnp.int32)
+    # group-level absolute end block (exclusive): tails past the window
+    eb = jnp.clip(hi // blk + 1, 0, n_blocks)
+    eb = jnp.max(eb.reshape(bsz, n_groups, m, nt), axis=2).astype(jnp.int32)
     return rt, qg, eb
 
 
@@ -308,26 +310,28 @@ def _rb_kernel_v3(qg_ref, eb_ref, rt_ref, w_ref, f_any, out_ref,
             fwin[slot], gsc[...], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec)  # (C, m*T)
 
+        # tail blocks for offsets whose matched rows overrun the group
+        # window (rare: cross-z density jumps) — one combined dot per block
+        def extra(jb, gall):
+            start = jb * blk
+            d = pltpu.make_async_copy(
+                f_any.at[b, :, pl.ds(start, blk)], tail, tsem)
+            d.start()
+            d.wait()
+            for j in range(m):
+                k = g * m + j
+                gsc[blk:2 * blk, j * t_out:(j + 1) * t_out] = (
+                    subi1 + start == rt_ref[0, 0, k][None, :]).astype(dt)
+            return gall + jax.lax.dot_general(
+                tail[...], gsc[blk:2 * blk, :], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec)
+
+        gall = jax.lax.fori_loop(
+            qg_ref[b, g, t] + n_wg, eb_ref[b, g, t], extra, gall)
         for j in range(m):
             k = g * m + j
-            gk = gall[:, j * t_out:(j + 1) * t_out]
-
-            # tail blocks for offsets whose matched rows overrun the
-            # group window (rare: cross-z density jumps)
-            def extra(jb, gk):
-                start = jb * blk
-                d = pltpu.make_async_copy(
-                    f_any.at[b, :, pl.ds(start, blk)], tail, tsem)
-                d.start()
-                d.wait()
-                oh2 = (subi1 + start == rt_ref[0, 0, k][None, :]).astype(dt)
-                return gk + jax.lax.dot_general(
-                    tail[...], oh2, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32, precision=prec)
-
-            gk = jax.lax.fori_loop(
-                qg_ref[b, g, t] + n_wg, eb_ref[b, k, t], extra, gk)
-            gbuf[k * c:(k + 1) * c, :] = gk.astype(dt)
+            gbuf[k * c:(k + 1) * c, :] = \
+                gall[:, j * t_out:(j + 1) * t_out].astype(dt)
 
     out_ref[0] = jax.lax.dot_general(
         w_ref[...], gbuf[...], (((0,), (0,)), ((), ())),

@@ -52,6 +52,18 @@ def device_batch(batch):
             if k in DEVICE_KEYS or k.startswith('rb_')}
 
 
+def jit_init(model, batch, seed=0):
+    """model.init under jit: ONE compiled program instead of an eager
+    op-by-op forward. Off-host backends dispatch each eager op over the
+    wire (~30 ms/op on the axon relay) and compile every Pallas kernel
+    variant eagerly — eager init of a two-stage detector costs tens of
+    minutes there; jitted it is one compile."""
+    import jax
+
+    return jax.jit(functools.partial(model.init, training=False))(
+        jax.random.PRNGKey(seed), batch)
+
+
 def make_train_step(model, mesh=None, axis_name='data', donate=True):
     """Build the jitted train step for `model` (a Detector3D).
 

@@ -96,6 +96,39 @@ def test_ball_query_caps_at_nsample():
     np.testing.assert_array_equal(idx, np.arange(16))  # first 16 by index
 
 
+def test_grid_ball_query_matches_brute_force():
+    """Grid-bucketed (single and shared-grid multi-radius) vs ball_query:
+    exact whenever cells hold <= cell_cap sources."""
+    rng = np.random.RandomState(5)
+    bounds = (0.0, -4.0, -2.0, 8.0, 4.0, 2.0)
+    src = np.stack([rng.uniform(0, 8, 500), rng.uniform(-4, 4, 500),
+                    rng.uniform(-2, 2, 500)], axis=1).astype(np.float32)
+    src = src[None]
+    centers = src[:, ::7] + 0.05
+    n = jnp.array([460])  # tail = padding
+    cvalid = jnp.ones((1, centers.shape[1]), bool)
+
+    for radius, ns in ((0.4, 8), (0.9, 16)):
+        ref_idx, ref_empty = pointnet2.ball_query(
+            radius, ns, jnp.asarray(src), n, jnp.asarray(centers), cvalid)
+        g_idx, g_empty = pointnet2.grid_ball_query(
+            radius, ns, jnp.asarray(src), n, jnp.asarray(centers), cvalid,
+            bounds=bounds, cell_cap=128)
+        np.testing.assert_array_equal(np.asarray(g_idx), np.asarray(ref_idx))
+        np.testing.assert_array_equal(np.asarray(g_empty),
+                                      np.asarray(ref_empty))
+
+    multi = pointnet2.grid_ball_query_multi(
+        (0.4, 0.9), (8, 16), jnp.asarray(src), n, jnp.asarray(centers),
+        cvalid, bounds=bounds, cell_cap=128)
+    for (radius, ns), (m_idx, m_empty) in zip(((0.4, 8), (0.9, 16)), multi):
+        ref_idx, ref_empty = pointnet2.ball_query(
+            radius, ns, jnp.asarray(src), n, jnp.asarray(centers), cvalid)
+        np.testing.assert_array_equal(np.asarray(m_idx), np.asarray(ref_idx))
+        np.testing.assert_array_equal(np.asarray(m_empty),
+                                      np.asarray(ref_empty))
+
+
 def test_group_points():
     feats = jnp.asarray(np.arange(12, dtype=np.float32).reshape(1, 4, 3))
     idx = jnp.asarray(np.array([[[0, 2], [3, 3]]], np.int32))

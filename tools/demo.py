@@ -66,7 +66,9 @@ def main():
     from lidardetection_tpu.config import cfg_from_yaml_file
     from lidardetection_tpu.datasets import build_dataloader
     from lidardetection_tpu.models import build_network
-    from lidardetection_tpu.parallel.train_step import device_batch, make_eval_step
+    from lidardetection_tpu.parallel.train_step import (
+        device_batch, jit_init, make_eval_step,
+    )
     from lidardetection_tpu.utils.common import create_logger
 
     logger = create_logger()
@@ -102,8 +104,7 @@ def main():
     model = build_network(cfg.MODEL, len(cfg.CLASS_NAMES), cfg.CLASS_NAMES,
                           dataset.dataset_info)
     batch0 = next(iter(loader))
-    variables = model.init(jax.random.PRNGKey(0), device_batch(batch0),
-                           training=False)
+    variables = jit_init(model, device_batch(batch0))
     if args.ckpt and args.ckpt != 'none':
         from lidardetection_tpu.parallel.train_step import TrainState
         from lidardetection_tpu.utils.checkpoint import restore_checkpoint

@@ -47,7 +47,9 @@ def main():
     from lidardetection_tpu.datasets import build_dataloader
     from lidardetection_tpu.datasets.dataset import DatasetTemplate
     from lidardetection_tpu.models import build_network
-    from lidardetection_tpu.parallel.train_step import device_batch, make_eval_step
+    from lidardetection_tpu.parallel.train_step import (
+        device_batch, jit_init, make_eval_step,
+    )
     from lidardetection_tpu.utils.common import create_logger
 
     logger = create_logger()
@@ -75,8 +77,7 @@ def main():
 
     model = build_network(cfg.MODEL, len(cfg.CLASS_NAMES), cfg.CLASS_NAMES,
                           template.dataset_info)
-    variables = model.init(jax.random.PRNGKey(0), device_batch(samples[0]),
-                           training=False)
+    variables = jit_init(model, device_batch(samples[0]))
     if args.ckpt and args.ckpt != 'none':
         import optax
 

@@ -30,7 +30,9 @@ def main():
     from lidardetection_tpu.datasets import build_dataloader
     from lidardetection_tpu.models import build_network
     from lidardetection_tpu.models.detectors.post_processing import post_processing
-    from lidardetection_tpu.parallel.train_step import device_batch
+    from lidardetection_tpu.parallel.train_step import (
+        device_batch, jit_init,
+    )
     from lidardetection_tpu.utils.common import set_random_seed
 
     set_random_seed(42)
@@ -47,7 +49,7 @@ def main():
     model = build_network(cfg.MODEL, len(cfg.CLASS_NAMES), cfg.CLASS_NAMES,
                           dataset.dataset_info)
     db = device_batch(batch)
-    variables = model.init(jax.random.PRNGKey(0), db, training=False)
+    variables = jit_init(model, db)
     params, stats = variables['params'], variables['batch_stats']
     db = jax.device_put(db)
     _ = float(jnp.sum(db['voxels']))

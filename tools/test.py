@@ -49,7 +49,9 @@ def main():
     from lidardetection_tpu.engine.evaluator import eval_one_epoch
     from lidardetection_tpu.models import build_network
     from lidardetection_tpu.parallel.mesh import make_mesh
-    from lidardetection_tpu.parallel.train_step import TrainState, device_batch
+    from lidardetection_tpu.parallel.train_step import (
+        TrainState, device_batch, jit_init,
+    )
     from lidardetection_tpu.utils.checkpoint import restore_checkpoint
     from lidardetection_tpu.utils.common import create_logger
 
@@ -74,8 +76,7 @@ def main():
     model = build_network(cfg.MODEL, len(cfg.CLASS_NAMES), cfg.CLASS_NAMES,
                           dataset.dataset_info)
     batch0 = next(iter(loader))
-    variables = model.init(jax.random.PRNGKey(0), device_batch(batch0),
-                           training=False)
+    variables = jit_init(model, device_batch(batch0))
     mesh = make_mesh() if n_dev > 1 else None
 
     def eval_ckpt(ckpt_path, tag):

@@ -75,7 +75,9 @@ def main():
     from lidardetection_tpu.engine.trainer import train_model
     from lidardetection_tpu.models import build_network
     from lidardetection_tpu.parallel.mesh import make_mesh
-    from lidardetection_tpu.parallel.train_step import device_batch
+    from lidardetection_tpu.parallel.train_step import (
+        device_batch, jit_init,
+    )
     from lidardetection_tpu.utils.common import create_logger, set_random_seed
 
     set_random_seed(42)
@@ -107,8 +109,7 @@ def main():
     model = build_network(cfg.MODEL, len(cfg.CLASS_NAMES), cfg.CLASS_NAMES,
                           dataset.dataset_info)
     batch0 = next(iter(loader))
-    variables = model.init(jax.random.PRNGKey(0), device_batch(batch0),
-                           training=False)
+    variables = jit_init(model, device_batch(batch0))
     n_params = sum(x.size for x in jax.tree.leaves(variables['params']))
     logger.info('model %s: %.2fM params', cfg.MODEL.NAME, n_params / 1e6)
 

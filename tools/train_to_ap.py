@@ -50,7 +50,9 @@ def main():
     from lidardetection_tpu.engine.evaluator import eval_one_epoch
     from lidardetection_tpu.engine.trainer import train_model
     from lidardetection_tpu.models import build_network
-    from lidardetection_tpu.parallel.train_step import device_batch
+    from lidardetection_tpu.parallel.train_step import (
+        device_batch, jit_init,
+    )
     from lidardetection_tpu.utils.checkpoint import (
         latest_checkpoint, restore_checkpoint,
     )
@@ -83,8 +85,7 @@ def main():
     model = build_network(cfg.MODEL, len(cfg.CLASS_NAMES), cfg.CLASS_NAMES,
                           dataset.dataset_info)
     batch0 = next(iter(loader))
-    variables = model.init(jax.random.PRNGKey(0), device_batch(batch0),
-                           training=False)
+    variables = jit_init(model, device_batch(batch0))
 
     state = train_model(model, variables, loader, cfg.OPTIMIZATION,
                         args.epochs, str(ckpt_dir), logger,

@@ -26,6 +26,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    jax.config.update('jax_compilation_cache_dir', '/tmp/ldtpu_bench_cache')
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+
     from lidardetection_tpu.config import cfg_from_yaml_file
     from lidardetection_tpu.datasets import build_dataloader
     from lidardetection_tpu.models import build_network

@@ -285,6 +285,55 @@ def ball_query_multi(radii, nsamples, xyz, xyz_num, new_xyz,
             for r, ns in zip(radii, nsamples)]
 
 
+def _overlapped_candidates(src_sorted, order, start, cap):
+    """Fetch candidate runs [start, start+cap) as single wide-row gathers.
+
+    XLA:TPU gather cost scales with the INDEX COUNT (~12 ns/index measured,
+    tools/microbench_bq.py), not bytes: per-element row gathers of the
+    (M, 27*cap) candidate matrix cost ~270 ms/batch at VSA shapes and
+    vmapped dynamic slices ~915 ms. Packing the cell-sorted table as
+    HALF-OVERLAPPED rows — row i holds points [i*cap, i*cap + 2*cap) ×
+    (x, y, z, orig) — lets one 2·cap-point row (2 KB at cap=64) cover any
+    cap-long run, so the fetch is ONE row gather per (center, cell):
+    ~55k indices/scan, ~5 ms/batch.
+
+    Args:
+        src_sorted: (N, 3) cell-sorted coords; order: (N,) original indices;
+        start: (M, 27) run starts (end-of-run masking is the caller's,
+        via positions); cap: static run cap.
+    Returns:
+        cand_xyz (M, 27, 2*cap, 3) f32, cand_orig (M, 27, 2*cap) int32,
+        pos (M, 27, 2*cap) int32 global positions in the sorted table.
+    """
+    n = src_sorted.shape[0]
+    nb = -(-n // cap) + 2  # blocks, incl. one padding block past the end
+    pad_len = nb * cap + cap - n
+    packed = jnp.concatenate(
+        [src_sorted, order.astype(jnp.float32)[:, None]], axis=1)
+    packed = jnp.pad(packed, ((0, pad_len), (0, 0)), constant_values=_BIG)
+    base = packed[:nb * cap].reshape(nb, cap * 4)
+    nxt = packed[cap:(nb + 1) * cap].reshape(nb, cap * 4)
+    table = jnp.concatenate([base, nxt], axis=1)  # (nb, 2*cap*4)
+
+    blk = jnp.minimum(start // cap, nb - 1)  # start <= N => blk <= nb-2
+    cand = table[blk]  # (M, 27, 2*cap*4) — the single row gather
+    cand = cand.reshape(*start.shape, 2 * cap, 4)
+    pos = blk[..., None] * cap + jnp.arange(2 * cap, dtype=jnp.int32)
+    return cand[..., :3], cand[..., 3].astype(jnp.int32), pos
+
+
+def _cell_boundaries(sk, n_cells):
+    """Start offsets of every cell in the sorted key table.
+
+    boundaries[c] = first row with key >= c, for c in [0, n_cells+2]:
+    one merge against the sorted keys, replacing two searchsorted calls
+    per radius set (queries arange(n_cells+3) are pre-sorted).
+    """
+    return jnp.searchsorted(
+        sk, jnp.arange(n_cells + 3, dtype=sk.dtype),
+        method='sort').astype(jnp.int32)
+
+
 def grid_ball_query_multi(radii, nsamples, xyz, xyz_num, new_xyz,
                           new_xyz_valid=None, bounds=None, cell_cap=64):
     """Multi-radius grid ball query sharing ONE grid + candidate gather.
@@ -325,42 +374,53 @@ def grid_ball_query_multi(radii, nsamples, xyz, xyz_num, new_xyz,
         nn_ = src.shape[0]
         valid = jnp.arange(nn_) < n
         ck = jnp.where(valid, cell_key(cell_of(src)), n_cells)
-        order = jnp.argsort(ck, stable=True).astype(jnp.int32)
-        sk = ck[order]
-        src_sorted = src[order]
+        # one multi-operand stable sort carries keys, coords and original
+        # indices together — argsort + three re-gathers cost ~6 ms/batch
+        # more (XLA:TPU gathers bill ~12 ns per INDEX, microbench_bq.py)
+        iota = jnp.arange(nn_, dtype=jnp.int32)
+        sk, sx, sy, sz, order = jax.lax.sort(
+            (ck, src[:, 0], src[:, 1], src[:, 2], iota),
+            dimension=0, num_keys=1, is_stable=True)
+        src_sorted = jnp.stack([sx, sy, sz], axis=1)
+        bounds_tab = _cell_boundaries(sk, n_cells)
+        # (start, end) fetched as ONE 2-wide row gather, not two scalar ones
+        se_tab = jnp.stack([bounds_tab[:-1], bounds_tab[1:]], axis=1)
 
         cc = cell_of(centers)  # (M, 3)
         nb = cc[:, None, :] + off[None, :, :]
         ok_cell = jnp.all((nb >= 0) & (nb < dims), axis=-1)
         nk = jnp.where(ok_cell, cell_key(nb), n_cells + 1)
-        start = jnp.searchsorted(sk, nk.reshape(-1),
-                                 method='sort').astype(jnp.int32)
-        end = jnp.searchsorted(sk, (nk + 1).reshape(-1), side='left',
-                               method='sort').astype(jnp.int32)
-        start = start.reshape(nk.shape)
-        end = jnp.minimum(end.reshape(nk.shape), start + cell_cap)
-        rows = start[..., None] + jnp.arange(cell_cap, dtype=jnp.int32)
-        live = rows < end[..., None]
-        rows = jnp.minimum(rows, nn_ - 1).reshape(centers.shape[0], -1)
-        live = live.reshape(centers.shape[0], -1)
+        se = se_tab[nk]
+        start = se[..., 0]
+        end = jnp.minimum(se[..., 1], start + cell_cap)
+        m_ = centers.shape[0]
 
-        # per-coordinate gathers: a fused (M, C27, 3) xyz gather materializes
-        # an [M*C27, 3] intermediate whose minor dim XLA:TPU lane-pads 3 ->
-        # 128 (13.5 GB at VSA shapes); three (M, C27) planes stay unpadded
-        d2 = jnp.zeros(rows.shape, jnp.float32)
-        for dim in range(3):
-            d2 = d2 + (src_sorted[:, dim][rows] - centers[:, dim:dim + 1]) ** 2
-        orig = order[rows]
-        neg_orig = -orig.astype(jnp.float32)
+        cand_xyz, orig, pos = _overlapped_candidates(
+            src_sorted, order, start, cell_cap)
+        live = ((pos >= start[..., None]) & (pos < end[..., None]))
+        d2 = jnp.sum(
+            (cand_xyz - centers[:, None, None, :]) ** 2, axis=-1)
+        w = 2 * cell_cap  # per-cell candidate window width
+        neg_orig = -orig.astype(jnp.float32)  # (m_, 27, w)
 
         results = []
         for radius, nsample in zip(radii, nsamples):
             hit = live & (d2 < float(radius) ** 2)
             if cvalid is not None:
-                hit = hit & cvalid[:, None]
+                hit = hit & cvalid[:, None, None]
             score = jnp.where(hit, neg_orig, -jnp.inf)
-            k = min(nsample, score.shape[1])
-            top, _ = jax.lax.top_k(score, k)
+            # EXACT two-stage first-nsample-by-index selection: any global
+            # top hit is also within its own cell's first-nsample (a hit
+            # outside its cell's top-k would need nsample lower-index hits
+            # in that cell alone), so a per-cell top-k followed by a merge
+            # over 27*k lanes equals one top-k over the full 27*w width —
+            # which costs ~3x more (top_k is superlinear in row width:
+            # 11 ms @1728 vs 32 ms @3456 lanes, tools/microbench_bq.py).
+            k1 = min(nsample, w)
+            s1, _ = jax.lax.top_k(score, k1)  # (m_, 27, k1)
+            s1 = s1.reshape(m_, 27 * k1)
+            k = min(nsample, 27 * k1)
+            top, _ = jax.lax.top_k(s1, k)
             if k < nsample:
                 top = jnp.pad(top, ((0, 0), (0, nsample - k)),
                               constant_values=-jnp.inf)
@@ -406,83 +466,9 @@ def grid_ball_query(radius, nsample, xyz, xyz_num, new_xyz,
         cell_cap: static max source points considered per cell.
     Returns (B, M, nsample) int32 indices + (B, M) empty mask.
     """
-    assert bounds is not None, 'grid_ball_query needs a static range'
-    x0, y0, z0, x1, y1, z1 = (float(v) for v in bounds)
-    r = float(radius)
-    gx = max(int(np.ceil((x1 - x0) / r)), 1)
-    gy = max(int(np.ceil((y1 - y0) / r)), 1)
-    gz = max(int(np.ceil((z1 - z0) / r)), 1)
-    n_cells = gx * gy * gz
-    r2 = r * r
-    origin = jnp.asarray([x0, y0, z0], jnp.float32)
-    dims = jnp.asarray([gx, gy, gz], jnp.int32)
-
-    def cell_of(p):  # (..., 3) -> (..., 3) int32 clamped cell coords
-        c = jnp.floor((p - origin) / r).astype(jnp.int32)
-        return jnp.clip(c, 0, dims - 1)
-
-    def cell_key(c):
-        return (c[..., 2] * gy + c[..., 1]) * gx + c[..., 0]
-
-    # 27-neighborhood offsets
-    off = jnp.asarray(
-        [[dx, dy, dz] for dz in (-1, 0, 1) for dy in (-1, 0, 1)
-         for dx in (-1, 0, 1)], jnp.int32)  # (27, 3)
-
-    def one(src, n, centers, cvalid):
-        nn_ = src.shape[0]
-        valid = jnp.arange(nn_) < n
-        ck = jnp.where(valid, cell_key(cell_of(src)), n_cells)
-        order = jnp.argsort(ck, stable=True).astype(jnp.int32)  # index order
-        sk = ck[order]
-        src_sorted = src[order]
-
-        cc = cell_of(centers)  # (M, 3)
-        nb = cc[:, None, :] + off[None, :, :]  # (M, 27, 3)
-        ok_cell = jnp.all((nb >= 0) & (nb < dims), axis=-1)
-        # masked neighbor cells key PAST the invalid-point sentinel
-        # (n_cells): keying them AT the sentinel would hand them the
-        # sentinel tail's [start, end) range, i.e. the invalid points
-        nk = jnp.where(ok_cell, cell_key(nb), n_cells + 1)  # (M, 27)
-        start = jnp.searchsorted(sk, nk.reshape(-1),
-                                 method='sort').astype(jnp.int32)
-        end = jnp.searchsorted(sk, (nk + 1).reshape(-1), side='left',
-                               method='sort').astype(jnp.int32)
-        start = start.reshape(nk.shape)
-        end = jnp.minimum(end.reshape(nk.shape), start + cell_cap)
-        # candidate rows in sorted order: (M, 27, cap)
-        rows = start[..., None] + jnp.arange(cell_cap, dtype=jnp.int32)
-        live = rows < end[..., None]
-        rows = jnp.minimum(rows, nn_ - 1).reshape(centers.shape[0], -1)
-        live = live.reshape(centers.shape[0], -1)  # (M, 27*cap)
-
-        # per-coordinate gathers (see grid_ball_query_multi: a fused xyz
-        # gather lane-pads its [M*C27, 3] intermediate 3 -> 128 on TPU)
-        d2 = jnp.zeros(rows.shape, jnp.float32)
-        for dim in range(3):
-            d2 = d2 + (src_sorted[:, dim][rows] - centers[:, dim:dim + 1]) ** 2
-        orig = order[rows]  # original indices
-        hit = live & (d2 < r2)
-        if cvalid is not None:
-            hit = hit & cvalid[:, None]
-        # first-nsample in ORIGINAL index order == largest -orig where hit
-        score = jnp.where(hit, -orig.astype(jnp.float32), -jnp.inf)
-        k = min(nsample, score.shape[1])
-        top, _ = jax.lax.top_k(score, k)
-        if k < nsample:
-            top = jnp.pad(top, ((0, 0), (0, nsample - k)),
-                          constant_values=-jnp.inf)
-        got = jnp.isfinite(top)
-        out = jnp.where(got, (-top).astype(jnp.int32), 0)
-        empty = got.sum(axis=1) <= 0
-        fill = jnp.where(empty, 0, out[:, 0])
-        out = jnp.where(got, out, fill[:, None])
-        return out, empty
-
-    if new_xyz_valid is None:
-        return jax.vmap(lambda s, n, c: one(s, n, c, None))(
-            xyz, xyz_num, new_xyz)
-    return jax.vmap(one)(xyz, xyz_num, new_xyz, new_xyz_valid)
+    return grid_ball_query_multi(
+        (radius,), (nsample,), xyz, xyz_num, new_xyz,
+        new_xyz_valid=new_xyz_valid, bounds=bounds, cell_cap=cell_cap)[0]
 
 
 def group_points(features, idx):

@@ -89,21 +89,32 @@ def main():
                 batch = getattr(m, name)(batch, training=training)
             return batch
 
+        has_points = 'points' in db
+
         @jax.jit
         def chain(params, stats, db, n):
-            # voxels ride the carry with a 1-element perturbation: a full
-            # `voxels + carry` would charge a 168 MB copy to every stage
+            # voxels AND points ride the carry with 1-element perturbations
+            # (a full `voxels + carry` would charge a 168 MB copy to every
+            # stage). Perturbing points keeps coordinate-dependent work
+            # (FPS, keypoints, ball-query center searches) inside the
+            # measured loop — feature-only perturbation lets XLA LICM hoist
+            # it, silently excluding most of the VSA cost (see bench.py).
             def body(_, state):
-                vox, carry = state
+                vox, pts, carry = state
                 vox = vox.at[0, 0, 0, 3].add(carry)
+                d = {**db, 'voxels': vox}
+                if has_points:
+                    pts = pts.at[0, 0, 0].add(carry)
+                    d['points'] = pts
                 out = model.apply({'params': params, 'batch_stats': stats},
-                                  {**db, 'voxels': vox}, training=False,
-                                  method=run)
+                                  d, training=False, method=run)
                 if with_post:
                     out = post_processing(out, post_cfg, num_class)
-                return vox, leaf_scalar(out)
-            _, out = jax.lax.fori_loop(
-                0, n, body, (db['voxels'], jnp.float32(0.0)))
+                return vox, pts, leaf_scalar(out)
+            pts0 = (db['points'] if has_points
+                    else jnp.zeros((1, 1, 1), jnp.float32))
+            _, _, out = jax.lax.fori_loop(
+                0, n, body, (db['voxels'], pts0, jnp.float32(0.0)))
             return out
         return chain
 

@@ -12,7 +12,8 @@ import numpy as np
 
 from ...core.box_coders import build_box_coder
 from ...core.geometry import rotate_points_along_z
-from ..backbones_3d.pointnet2_modules import PointnetSAModuleMSG
+from ...ops import pointnet2 as p2
+from ..backbones_3d.pointnet2_modules import SharedMLP
 from ..layers import MaskedBatchNorm
 from . import roi_head_utils
 from .pointrcnn_head import FCHead
@@ -35,6 +36,92 @@ def get_global_grid_points_of_roi(rois, grid_size):
     flat = rotate_points_along_z(
         local.reshape(b * r, -1, 3), rois[..., 6].reshape(-1))
     return flat.reshape(b, r, -1, 3) + rois[..., None, 0:3]
+
+
+class RoIGridPool(nn.Module):
+    """RoI-grid pooling via per-RoI candidate prefilter + rank-select MXU
+    einsums (pvrcnn_head.py:73-119 re-designed for TPU).
+
+    The reference ball-queries every grid point against every keypoint
+    (R*g^3 x K pairwise + per-point first-nsample scan). Here: (1) each RoI
+    prefilters the k_cand lowest-index keypoints within
+    half_diagonal + max_radius of its center (all its grid points' in-radius
+    neighbors by construction, `ops.pointnet2.roi_candidates`); (2) per grid
+    point, first-nsample-by-index selection over the K candidate lanes is a
+    boolean rank matrix (`candidate_rank_select`) contracted against the
+    candidate coords+features on the MXU — no wide top_k, no per-element
+    index gathers.
+    """
+
+    radii: tuple
+    nsamples: tuple
+    mlps: tuple
+    k_cand: int = 128
+    axis_name: str | None = None
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, kp_xyz, kp_feats, kp_num, rois, roi_valid, grid_pts,
+                 training):
+        """kp_xyz (B, N, 3); kp_feats (B, N, C); kp_num (B,);
+        rois (B, R, 7); roi_valid (B, R); grid_pts (B, R, G, 3).
+        Returns pooled (B, R, G, sum C_out)."""
+        b, rr, gg = grid_pts.shape[:3]
+        r_cand = (0.5 * jnp.linalg.norm(rois[..., 3:6], axis=-1)
+                  + float(max(self.radii)))
+        r_cand = jnp.where(roi_valid, r_cand, 0.0)
+        cand_idx, cand_live = p2.roi_candidates(
+            kp_xyz, kp_num, rois[..., 0:3], r_cand, self.k_cand)
+
+        # project source features once per radius, then ONE row gather for
+        # coords + all projections together (gathers bill per index)
+        c0s = [int(m[0]) for m in self.mlps]
+        feats_in = kp_feats
+        if self.dtype is not None:
+            feats_in = feats_in.astype(self.dtype)
+        projs = [nn.Dense(c0, use_bias=False, dtype=self.dtype,
+                          name=f'pre_proj_{ri}')(feats_in)
+                 for ri, c0 in enumerate(c0s)]
+        packed = jnp.concatenate(
+            [kp_xyz] + [p.astype(jnp.float32) for p in projs], axis=-1)
+        cand = p2.group_points(packed, cand_idx.reshape(b, rr * self.k_cand))
+        cand = cand.reshape(b, rr, self.k_cand, -1)
+        cand_xyz = cand[..., 0:3]
+
+        outs = []
+        col = 3
+        for ri, (radius, nsample, mlp) in enumerate(
+                zip(self.radii, self.nsamples, self.mlps)):
+            c0 = c0s[ri]
+            sel, empty = p2.candidate_rank_select(
+                cand_xyz, cand_live, grid_pts, radius, nsample)
+            vals = jnp.concatenate(
+                [cand_xyz, cand[..., col:col + c0]], axis=-1)
+            selw = sel.astype(vals.dtype)
+            grp = jnp.einsum('brgsk,brkc->brgsc', selw, vals,
+                             preferred_element_type=jnp.float32)
+            gxyz = grp[..., 0:3] - grid_pts[:, :, :, None, :]
+            gxyz = jnp.where(empty[..., None, None], 0.0, gxyz)
+            if self.dtype is not None:
+                gxyz = gxyz.astype(self.dtype)
+            x = grp[..., 3:].astype(projs[ri].dtype) + nn.Dense(
+                c0, use_bias=False, dtype=self.dtype,
+                name=f'xyz_proj_{ri}')(gxyz)
+            x = x.reshape(b, rr * gg, nsample, c0)
+            mask = jnp.broadcast_to(
+                jnp.repeat(roi_valid, gg, axis=1)[:, :, None], x.shape[:3])
+            x = MaskedBatchNorm(use_running_average=not training,
+                                momentum=0.9, epsilon=1e-5,
+                                axis_name=self.axis_name,
+                                name=f'pre_bn_{ri}')(x, mask=mask)
+            x = nn.relu(x)
+            out = SharedMLP(tuple(mlp[1:]), axis_name=self.axis_name,
+                            dtype=self.dtype)(x, mask, training)
+            out = out.max(axis=2).reshape(b, rr, gg, -1)
+            keep = (roi_valid[:, :, None] & ~empty)[..., None]
+            outs.append(out * keep.astype(out.dtype))
+            col += c0
+        return jnp.concatenate(outs, axis=-1)
 
 
 class PVRCNNHead(nn.Module):
@@ -78,19 +165,17 @@ class PVRCNNHead(nn.Module):
                            batch['point_valid'].sum(axis=1).astype(jnp.int32))
 
         grid_pts = get_global_grid_points_of_roi(rois[..., :7], g)
-        grid_flat = grid_pts.reshape(b, r * g ** 3, 3)
-        grid_num = jnp.full((b,), r * g ** 3, jnp.int32)
 
         pool_cfg = cfg['ROI_GRID_POOL']
-        _, pooled, _ = PointnetSAModuleMSG(
-            npoint=r * g ** 3, radii=tuple(pool_cfg['POOL_RADIUS']),
+        pooled = RoIGridPool(
+            radii=tuple(pool_cfg['POOL_RADIUS']),
             nsamples=tuple(pool_cfg['NSAMPLE']),
             mlps=tuple(tuple(m) for m in pool_cfg['MLPS']),
-            use_xyz=True, zero_empty=True,
+            k_cand=int(pool_cfg.get('CANDIDATE_CAP', 128)),
             axis_name=self.axis_name, dtype=self.dtype,
-        )(kp, kp_feats, kp_num, training, new_xyz=grid_flat,
-          new_xyz_num=grid_num)
-        # (B, R*g^3, C) -> (B*R, g^3*C), torch layout (C, g^3) flattened:
+        )(kp, kp_feats, kp_num, rois[..., :7], out['roi_valid'],
+          grid_pts, training)
+        # (B, R, g^3, C) -> (B*R, g^3*C), torch layout (C, g^3) flattened:
         pooled = pooled.reshape(b * r, g ** 3, -1)
         pooled = jnp.swapaxes(pooled, 1, 2).reshape(b * r, -1)
 

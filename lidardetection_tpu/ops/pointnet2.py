@@ -297,29 +297,52 @@ def _overlapped_candidates(src_sorted, order, start, cap):
     cap-long run, so the fetch is ONE row gather per (center, cell):
     ~55k indices/scan, ~5 ms/batch.
 
+    The packed table is FIELD-MAJOR per block (x-run, y-run, z-run,
+    orig-run), so every downstream tensor keeps a clean 128-lane minor dim:
+    the earlier point-major (..., 2*cap, 4) layout made XLA tile the 4-wide
+    (or the 27-wide) dim onto the 128 lanes, inflating the candidate and
+    score temps ~4.7x and OOMing PV-RCNN eval at batch 8.
+
     Args:
         src_sorted: (N, 3) cell-sorted coords; order: (N,) original indices;
         start: (M, 27) run starts (end-of-run masking is the caller's,
         via positions); cap: static run cap.
     Returns:
-        cand_xyz (M, 27, 2*cap, 3) f32, cand_orig (M, 27, 2*cap) int32,
-        pos (M, 27, 2*cap) int32 global positions in the sorted table.
+        cand_x, cand_y, cand_z (M, 27, 2*cap) f32, cand_orig (M, 27, 2*cap)
+        int32, pos (M, 27, 2*cap) int32 positions in the sorted table.
+    """
+    cand, pos = _candidate_windows(src_sorted, order, start, cap)
+
+    def field(f):
+        return cand[..., f * 2 * cap:(f + 1) * 2 * cap]
+
+    return (field(0), field(1), field(2),
+            field(3).astype(jnp.int32), pos)
+
+
+def _candidate_windows(src_sorted, order, start, cap):
+    """Packed candidate windows: one row gather per (center, cell).
+
+    Returns cand (M, n_off, 8*cap) f32 — field-major rows
+    [x_b x_n | y_b y_n | z_b z_n | o_b o_n] so each field's 2*cap
+    candidates are one contiguous slice — plus pos (M, n_off, 2*cap)
+    global positions in the sorted table.
     """
     n = src_sorted.shape[0]
     nb = -(-n // cap) + 2  # blocks, incl. one padding block past the end
     pad_len = nb * cap + cap - n
-    packed = jnp.concatenate(
-        [src_sorted, order.astype(jnp.float32)[:, None]], axis=1)
-    packed = jnp.pad(packed, ((0, pad_len), (0, 0)), constant_values=_BIG)
-    base = packed[:nb * cap].reshape(nb, cap * 4)
-    nxt = packed[cap:(nb + 1) * cap].reshape(nb, cap * 4)
-    table = jnp.concatenate([base, nxt], axis=1)  # (nb, 2*cap*4)
+    fields = jnp.concatenate(
+        [src_sorted.T, order.astype(jnp.float32)[None, :]], axis=0)  # (4, N)
+    fields = jnp.pad(fields, ((0, 0), (0, pad_len)), constant_values=_BIG)
+    base = fields[:, :nb * cap].reshape(4, nb, cap)
+    nxt = fields[:, cap:(nb + 1) * cap].reshape(4, nb, cap)
+    table = jnp.stack([base, nxt], axis=1)  # (4, 2, nb, cap)
+    table = jnp.transpose(table, (2, 0, 1, 3)).reshape(nb, 8 * cap)
 
     blk = jnp.minimum(start // cap, nb - 1)  # start <= N => blk <= nb-2
-    cand = table[blk]  # (M, 27, 2*cap*4) — the single row gather
-    cand = cand.reshape(*start.shape, 2 * cap, 4)
+    cand = table[blk]  # (M, n_off, 8*cap) — the single row gather
     pos = blk[..., None] * cap + jnp.arange(2 * cap, dtype=jnp.int32)
-    return cand[..., :3], cand[..., 3].astype(jnp.int32), pos
+    return cand, pos
 
 
 def _cell_boundaries(sk, n_cells):
@@ -366,11 +389,36 @@ def grid_ball_query_multi(radii, nsamples, xyz, xyz_num, new_xyz,
     def cell_key(c):
         return (c[..., 2] * gy + c[..., 1]) * gx + c[..., 0]
 
-    off = jnp.asarray(
-        [[dx, dy, dz] for dz in (-1, 0, 1) for dy in (-1, 0, 1)
-         for dx in (-1, 0, 1)], jnp.int32)  # (27, 3)
+    # static z trim: a grid with gz <= 2 z-layers never has more than gz
+    # distinct z neighbors, so enumerate ABSOLUTE z layers instead of
+    # relative dz — coarse-radius sources (e.g. VSA x_conv4, cell 4.8 m
+    # over a 4 m z range) drop from 27 to 9 neighbor cells, a 3x cut in
+    # candidate-gather traffic
+    if gz <= 2:
+        off_xy = jnp.asarray(
+            [[dx, dy] for dy in (-1, 0, 1) for dx in (-1, 0, 1)],
+            jnp.int32)  # (9, 2)
+        n_off = 9 * gz
 
-    def one(src, n, centers, cvalid):
+        def neighbor_cells(cc):
+            m_ = cc.shape[0]
+            xy = cc[:, None, None, :2] + off_xy[None, :, None, :]
+            xy = jnp.broadcast_to(xy, (m_, 9, gz, 2))
+            z = jnp.broadcast_to(
+                jnp.arange(gz, dtype=jnp.int32)[None, None, :, None],
+                (m_, 9, gz, 1))
+            return jnp.concatenate([xy, z], axis=-1).reshape(m_, n_off, 3)
+    else:
+        off = jnp.asarray(
+            [[dx, dy, dz] for dz in (-1, 0, 1) for dy in (-1, 0, 1)
+             for dx in (-1, 0, 1)], jnp.int32)  # (27, 3)
+        n_off = 27
+
+        def neighbor_cells(cc):
+            return cc[:, None, :] + off[None, :, :]
+
+    def prep(src, n, centers, cvalid):
+        """Sort + cell lookup + candidate windows (everything but select)."""
         nn_ = src.shape[0]
         valid = jnp.arange(nn_) < n
         ck = jnp.where(valid, cell_key(cell_of(src)), n_cells)
@@ -387,7 +435,64 @@ def grid_ball_query_multi(radii, nsamples, xyz, xyz_num, new_xyz,
         se_tab = jnp.stack([bounds_tab[:-1], bounds_tab[1:]], axis=1)
 
         cc = cell_of(centers)  # (M, 3)
-        nb = cc[:, None, :] + off[None, :, :]
+        nb = neighbor_cells(cc)  # (M, n_off, 3)
+        ok_cell = jnp.all((nb >= 0) & (nb < dims), axis=-1)
+        nk = jnp.where(ok_cell, cell_key(nb), n_cells + 1)
+        se = se_tab[nk]
+        start = se[..., 0]
+        end = jnp.minimum(se[..., 1], start + cell_cap)
+        if cvalid is not None:
+            # invalid centers: empty run => no hits => empty-group output
+            end = jnp.where(cvalid[:, None], end, start)
+        cand, _ = _candidate_windows(src_sorted, order, start, cell_cap)
+        return cand, start, end
+
+    def decode(top, nsample):
+        """(B, M, k) f32 scores -> ball_query's (idx, empty) contract."""
+        if top.shape[-1] < nsample:
+            top = jnp.pad(
+                top, ((0, 0), (0, 0), (0, nsample - top.shape[-1])),
+                constant_values=-jnp.inf)
+        got = jnp.isfinite(top)
+        out = jnp.where(got, (-top).astype(jnp.int32), 0)
+        empty = got.sum(axis=-1) <= 0
+        fill = jnp.where(empty, 0, out[..., 0])
+        return jnp.where(got, out, fill[..., None]), empty
+
+    if jax.default_backend() == 'tpu':
+        # selection runs in the Pallas kernel: one pass over the candidate
+        # windows for ALL radii, no top_k sorts (ops/select_tpu.py)
+        from .select_tpu import ball_select
+        if new_xyz_valid is None:
+            cand, start, end = jax.vmap(
+                lambda s, n, c: prep(s, n, c, None))(xyz, xyz_num, new_xyz)
+        else:
+            cand, start, end = jax.vmap(prep)(
+                xyz, xyz_num, new_xyz, new_xyz_valid)
+        b, m = new_xyz.shape[:2]
+        nb_blocks = -(-xyz.shape[1] // cell_cap) + 2
+        tops = ball_select(
+            cand.reshape(b * m, n_off, 8 * cell_cap),
+            start.reshape(b * m, n_off), end.reshape(b * m, n_off),
+            new_xyz.reshape(b * m, 3).astype(jnp.float32),
+            radii, nsamples, cell_cap, nb_blocks)
+        return [decode(t.reshape(b, m, -1), ns)
+                for t, ns in zip(tops, nsamples)]
+
+    def one(src, n, centers, cvalid):
+        nn_ = src.shape[0]
+        valid = jnp.arange(nn_) < n
+        ck = jnp.where(valid, cell_key(cell_of(src)), n_cells)
+        iota = jnp.arange(nn_, dtype=jnp.int32)
+        sk, sx, sy, sz, order = jax.lax.sort(
+            (ck, src[:, 0], src[:, 1], src[:, 2], iota),
+            dimension=0, num_keys=1, is_stable=True)
+        src_sorted = jnp.stack([sx, sy, sz], axis=1)
+        bounds_tab = _cell_boundaries(sk, n_cells)
+        se_tab = jnp.stack([bounds_tab[:-1], bounds_tab[1:]], axis=1)
+
+        cc = cell_of(centers)  # (M, 3)
+        nb = neighbor_cells(cc)  # (M, n_off, 3)
         ok_cell = jnp.all((nb >= 0) & (nb < dims), axis=-1)
         nk = jnp.where(ok_cell, cell_key(nb), n_cells + 1)
         se = se_tab[nk]
@@ -395,13 +500,14 @@ def grid_ball_query_multi(radii, nsamples, xyz, xyz_num, new_xyz,
         end = jnp.minimum(se[..., 1], start + cell_cap)
         m_ = centers.shape[0]
 
-        cand_xyz, orig, pos = _overlapped_candidates(
+        cx, cy, cz, orig, pos = _overlapped_candidates(
             src_sorted, order, start, cell_cap)
         live = ((pos >= start[..., None]) & (pos < end[..., None]))
-        d2 = jnp.sum(
-            (cand_xyz - centers[:, None, None, :]) ** 2, axis=-1)
+        d2 = ((cx - centers[:, None, None, 0]) ** 2
+              + (cy - centers[:, None, None, 1]) ** 2
+              + (cz - centers[:, None, None, 2]) ** 2)
         w = 2 * cell_cap  # per-cell candidate window width
-        neg_orig = -orig.astype(jnp.float32)  # (m_, 27, w)
+        neg_orig = -orig.astype(jnp.float32)  # (m_, n_off, w)
 
         results = []
         for radius, nsample in zip(radii, nsamples):
@@ -413,13 +519,13 @@ def grid_ball_query_multi(radii, nsamples, xyz, xyz_num, new_xyz,
             # top hit is also within its own cell's first-nsample (a hit
             # outside its cell's top-k would need nsample lower-index hits
             # in that cell alone), so a per-cell top-k followed by a merge
-            # over 27*k lanes equals one top-k over the full 27*w width —
-            # which costs ~3x more (top_k is superlinear in row width:
-            # 11 ms @1728 vs 32 ms @3456 lanes, tools/microbench_bq.py).
+            # over n_off*k lanes equals one top-k over the full n_off*w
+            # width — which costs ~3x more (top_k is superlinear in row
+            # width: 11 ms @1728 vs 32 ms @3456 lanes, microbench_bq.py).
             k1 = min(nsample, w)
-            s1, _ = jax.lax.top_k(score, k1)  # (m_, 27, k1)
-            s1 = s1.reshape(m_, 27 * k1)
-            k = min(nsample, 27 * k1)
+            s1, _ = jax.lax.top_k(score, k1)  # (m_, n_off, k1)
+            s1 = s1.reshape(m_, n_off * k1)
+            k = min(nsample, n_off * k1)
             top, _ = jax.lax.top_k(s1, k)
             if k < nsample:
                 top = jnp.pad(top, ((0, 0), (0, nsample - k)),
@@ -469,6 +575,77 @@ def grid_ball_query(radius, nsample, xyz, xyz_num, new_xyz,
     return grid_ball_query_multi(
         (radius,), (nsample,), xyz, xyz_num, new_xyz,
         new_xyz_valid=new_xyz_valid, bounds=bounds, cell_cap=cell_cap)[0]
+
+
+def roi_candidates(src, src_num, centers, r_cand, k_cand):
+    """Per-RoI candidate prefilter for RoI-grid pooling.
+
+    For each RoI center, the `k_cand` LOWEST-INDEX source points within
+    `r_cand` of the center (so every in-radius neighbor of every grid point
+    of that RoI is a candidate: grid points lie inside the box, hence within
+    half-diagonal of the center, and r_cand = half_diag + max_radius).
+    Candidates come out in ascending original-index order, so candidate
+    POSITION order equals the reference's first-by-index order
+    (ball_query_gpu.cu:16-40) and the per-grid-point selection can run over
+    K lanes instead of N.
+
+    Exactness: exact whenever a RoI has <= k_cand sources within r_cand;
+    beyond the cap the HIGHEST-index sources drop from candidacy — the same
+    arbitrary-surplus class as `grid_ball_query`'s cell cap.
+
+    Args:
+        src: (B, N, 3); src_num: (B,); centers: (B, R, 3) RoI centers;
+        r_cand: (B, R) per-RoI candidate radius; k_cand: static int.
+    Returns:
+        cand_idx (B, R, K) int32 ascending, cand_live (B, R, K) bool.
+    """
+
+    def one(s, n, c, rc):
+        nn_ = s.shape[0]
+        valid = jnp.arange(nn_) < n
+        d2 = _pairwise_d2(c, s)  # (R, N)
+        mask = (d2 < rc[:, None] ** 2) & valid[None, :]
+        score = jnp.where(mask, -jnp.arange(nn_, dtype=jnp.float32)[None, :],
+                          -jnp.inf)
+        k = min(k_cand, nn_)
+        top, _ = jax.lax.top_k(score, k)
+        if k < k_cand:
+            top = jnp.pad(top, ((0, 0), (0, k_cand - k)),
+                          constant_values=-jnp.inf)
+        live = jnp.isfinite(top)
+        return jnp.where(live, (-top).astype(jnp.int32), 0), live
+
+    return jax.vmap(one)(src, src_num, centers, r_cand)
+
+
+def candidate_rank_select(cand_xyz, cand_live, grid, radius, nsample):
+    """First-`nsample`-by-candidate-rank selection matrices per grid point.
+
+    Replaces the per-grid-point ball query + index gather with a boolean
+    selection tensor that feeds an MXU einsum (sel @ values): no top_k over
+    wide lanes and no element gathers. Ranks come from a cumsum over the K
+    candidate lanes; slots past the hit count select the FIRST hit,
+    reproducing the CUDA back-fill (ball_query_gpu.cu:44-52).
+
+    Args:
+        cand_xyz: (B, R, K, 3) candidate coords (ascending-index order);
+        cand_live: (B, R, K) bool; grid: (B, R, G, 3) grid points;
+        radius, nsample: static.
+    Returns:
+        sel (B, R, G, nsample, K) bool, empty (B, R, G) bool.
+    """
+    d2 = jnp.sum((grid[:, :, :, None, :] - cand_xyz[:, :, None, :, :]) ** 2,
+                 axis=-1)  # (B, R, G, K)
+    hit = cand_live[:, :, None, :] & (d2 < float(radius) ** 2)
+    cum = jnp.cumsum(hit.astype(jnp.int32), axis=-1)
+    cnt = cum[..., -1]  # (B, R, G)
+    slots = jnp.arange(nsample, dtype=jnp.int32)
+    rank_sel = hit[..., None, :] & (cum[..., None, :] == 1 + slots[:, None])
+    first_hit = hit & (cum == 1)
+    slot_valid = slots[None, None, None] < cnt[..., None]  # (B, R, G, ns)
+    sel = jnp.where(slot_valid[..., None], rank_sel,
+                    first_hit[..., None, :])
+    return sel, cnt == 0
 
 
 def group_points(features, idx):

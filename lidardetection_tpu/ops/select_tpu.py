@@ -1,0 +1,104 @@
+"""TPU Pallas first-nsample-by-index selection for grid ball queries.
+
+The two-stage `lax.top_k` selection in grid_ball_query_multi costs
+~45 ms/radius at VSA shapes (B=8, M=2048, 27 cells x 128-wide windows) —
+top_k lowers to a full bitonic sort of every (cell, window) row. But the
+selection itself is tiny arithmetic over data that already sits in VMEM
+once per tile: this kernel streams the packed candidate windows
+(ops/pointnet2.py:_overlapped_candidates layout) tile-by-tile, computes
+center distances in-kernel, and extracts the `nsample` best (= lowest
+original index) hits per center with an unrolled iterative argmax — for
+ALL radii of an MSG group in ONE pass over the data. HBM traffic is one
+read of the candidate tensor; no sort, no second pass.
+
+Semantics match ball_query exactly (first-nsample in-radius by ascending
+original index, ball_query_gpu.cu:16-40); the CPU/golden path keeps the
+top_k formulation in ops/pointnet2.py.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+TM = 8  # center rows per grid step
+
+
+def _select_kernel(cand_ref, start_ref, end_ref, centers_ref, *out_refs,
+                   cap, nb, radii, nsamples):
+    w = 2 * cap
+    n_off = start_ref.shape[1]
+    cand = cand_ref[...]  # (TM, n_off, 8*cap) f32 field-major
+    cx = cand[:, :, 0 * w:1 * w]
+    cy = cand[:, :, 1 * w:2 * w]
+    cz = cand[:, :, 2 * w:3 * w]
+    neg_orig = -cand[:, :, 3 * w:4 * w]  # -original index (f32)
+
+    start = start_ref[...]  # (TM, n_off) i32
+    end = end_ref[...]
+    blk = jnp.minimum(start // cap, nb - 1)
+    pos = (blk[:, :, None] * cap
+           + jax.lax.broadcasted_iota(jnp.int32, (TM, n_off, w), 2))
+    live = (pos >= start[:, :, None]) & (pos < end[:, :, None])
+
+    d2 = ((cx - centers_ref[:, 0][:, None, None]) ** 2
+          + (cy - centers_ref[:, 1][:, None, None]) ** 2
+          + (cz - centers_ref[:, 2][:, None, None]) ** 2)
+
+    neg_inf = jnp.float32(-jnp.inf)
+    for ri, (radius, nsample) in enumerate(zip(radii, nsamples)):
+        hit = live & (d2 < jnp.float32(radius) ** 2)
+        flat = jnp.where(hit, neg_orig, neg_inf).reshape(TM, n_off * w)
+        cols = []
+        for _ in range(nsample):
+            m = jnp.max(flat, axis=1)  # (TM,)
+            cols.append(m)
+            # -orig values are unique per row, so >= removes exactly the
+            # taken element (and is a no-op on already--inf lanes)
+            flat = jnp.where(flat >= m[:, None], neg_inf, flat)
+        out_refs[ri][...] = jnp.stack(cols, axis=1)
+
+
+def ball_select(cand, start, end, centers, radii, nsamples, cap, nb,
+                interpret=False):
+    """Select per-center top-nsample scores from packed candidate windows.
+
+    Args:
+        cand: (R, n_off, 8*cap) f32 field-major windows (x|y|z|orig runs);
+        start/end: (R, n_off) int32 candidate run bounds (end<=start+cap;
+            centers masked off by the caller get end==start);
+        centers: (R, 3) f32; radii/nsamples: static tuples; cap/nb: static
+            window cap and block count of the packed table.
+    Returns:
+        list of (R, nsample_i) f32 score arrays (-orig index of the i-th
+        first in-radius hit, -inf where fewer than i hits).
+    """
+    import jax.experimental.pallas as pl
+
+    r = cand.shape[0]
+    n_off = cand.shape[1]
+    pad = (-r) % TM
+    if pad:
+        cand = jnp.pad(cand, ((0, pad), (0, 0), (0, 0)))
+        start = jnp.pad(start, ((0, pad), (0, 0)))
+        end = jnp.pad(end, ((0, pad), (0, 0)))
+        centers = jnp.pad(centers, ((0, pad), (0, 0)))
+    rows = r + pad
+
+    outs = pl.pallas_call(
+        functools.partial(_select_kernel, cap=cap, nb=nb, radii=tuple(radii),
+                          nsamples=tuple(nsamples)),
+        grid=(rows // TM,),
+        in_specs=[
+            pl.BlockSpec((TM, n_off, 8 * cap), lambda i: (i, 0, 0)),
+            pl.BlockSpec((TM, n_off), lambda i: (i, 0)),
+            pl.BlockSpec((TM, n_off), lambda i: (i, 0)),
+            pl.BlockSpec((TM, 3), lambda i: (i, 0)),
+        ],
+        out_specs=[pl.BlockSpec((TM, int(ns)), lambda i: (i, 0))
+                   for ns in nsamples],
+        out_shape=[jax.ShapeDtypeStruct((rows, int(ns)), jnp.float32)
+                   for ns in nsamples],
+        interpret=interpret,
+    )(cand, start, end, centers)
+    return [o[:r] for o in outs]

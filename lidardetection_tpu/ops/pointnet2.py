@@ -37,6 +37,10 @@ def set_ball_query_recall(recall):
 BALL_QUERY_GRID = None
 _GRID_MIN_SOURCES = 4096
 
+# Tests: route grid_ball_query_multi through the Pallas row-run kernel in
+# interpret mode on CPU (pins the TPU path's semantics without a chip).
+_FORCE_KERNEL_INTERPRET = False
+
 
 def set_ball_query_grid(bounds, cell_cap=64):
     """Enable (bounds+cap) or disable (None) TPU grid-bucketed ball query."""
@@ -320,28 +324,29 @@ def _overlapped_candidates(src_sorted, order, start, cap):
             field(3).astype(jnp.int32), pos)
 
 
-def _candidate_windows(src_sorted, order, start, cap):
-    """Packed candidate windows: one row gather per (center, cell).
+def _candidate_windows(src_sorted, order, start, cap, nw=2):
+    """Packed candidate windows: one row gather per (center, cell/run).
 
-    Returns cand (M, n_off, 8*cap) f32 — field-major rows
-    [x_b x_n | y_b y_n | z_b z_n | o_b o_n] so each field's 2*cap
-    candidates are one contiguous slice — plus pos (M, n_off, 2*cap)
-    global positions in the sorted table.
+    Returns cand (M, n_off, 4*nw*cap) f32 — field-major rows
+    [x_0..x_{nw-1} | y_... | z_... | o_...] so each field's nw*cap
+    candidates are one contiguous slice — plus pos (M, n_off, nw*cap)
+    global positions in the sorted table. A window of nw blocks covers any
+    run of <= (nw-1)*cap rows regardless of its offset inside block 0.
     """
     n = src_sorted.shape[0]
     nb = -(-n // cap) + 2  # blocks, incl. one padding block past the end
-    pad_len = nb * cap + cap - n
+    pad_len = nb * cap + (nw - 1) * cap - n
     fields = jnp.concatenate(
         [src_sorted.T, order.astype(jnp.float32)[None, :]], axis=0)  # (4, N)
     fields = jnp.pad(fields, ((0, 0), (0, pad_len)), constant_values=_BIG)
-    base = fields[:, :nb * cap].reshape(4, nb, cap)
-    nxt = fields[:, cap:(nb + 1) * cap].reshape(4, nb, cap)
-    table = jnp.stack([base, nxt], axis=1)  # (4, 2, nb, cap)
-    table = jnp.transpose(table, (2, 0, 1, 3)).reshape(nb, 8 * cap)
+    views = [fields[:, j * cap:(j + nb) * cap].reshape(4, nb, cap)
+             for j in range(nw)]
+    table = jnp.stack(views, axis=1)  # (4, nw, nb, cap)
+    table = jnp.transpose(table, (2, 0, 1, 3)).reshape(nb, 4 * nw * cap)
 
     blk = jnp.minimum(start // cap, nb - 1)  # start <= N => blk <= nb-2
-    cand = table[blk]  # (M, n_off, 8*cap) — the single row gather
-    pos = blk[..., None] * cap + jnp.arange(2 * cap, dtype=jnp.int32)
+    cand = table[blk]  # (M, n_off, 4*nw*cap) — the single row gather
+    pos = blk[..., None] * cap + jnp.arange(nw * cap, dtype=jnp.int32)
     return cand, pos
 
 
@@ -417,8 +422,38 @@ def grid_ball_query_multi(radii, nsamples, xyz, xyz_num, new_xyz,
         def neighbor_cells(cc):
             return cc[:, None, :] + off[None, :, :]
 
+    # x-run merge (TPU path): cells (x-1, x, x+1) at one (y, z) are
+    # CONSECUTIVE keys (key = (z*gy + y)*gx + x), so their candidate runs
+    # are one contiguous range of the sorted table. Each center then needs
+    # n_row = 3*gz (gz <= 2) or 9 row-runs instead of 27/9*gz cell windows:
+    # 3x fewer billed gather indices (XLA:TPU gathers bill per index) and
+    # ~1.5x fewer candidate lanes through the select kernel (one 4-block
+    # window per run vs three 2-block windows).
+    NW = 4  # window blocks per run: covers run <= 3*cap at any offset
+    if gz <= 2:
+        dys = jnp.asarray([-1, 0, 1], jnp.int32)
+        n_row = 3 * gz
+
+        def row_yz(cc):
+            m_ = cc.shape[0]
+            y = cc[:, None, None, 1] + dys[None, :, None]
+            y = jnp.broadcast_to(y, (m_, 3, gz))
+            z = jnp.broadcast_to(
+                jnp.arange(gz, dtype=jnp.int32)[None, None, :], (m_, 3, gz))
+            return y.reshape(m_, n_row), z.reshape(m_, n_row)
+    else:
+        off_yz = jnp.asarray(
+            [[dy, dz] for dz in (-1, 0, 1) for dy in (-1, 0, 1)],
+            jnp.int32)  # (9, 2)
+        n_row = 9
+
+        def row_yz(cc):
+            y = cc[:, None, 1] + off_yz[None, :, 0]
+            z = cc[:, None, 2] + off_yz[None, :, 1]
+            return y, z
+
     def prep(src, n, centers, cvalid):
-        """Sort + cell lookup + candidate windows (everything but select)."""
+        """Sort + row-run lookup + candidate windows (everything but select)."""
         nn_ = src.shape[0]
         valid = jnp.arange(nn_) < n
         ck = jnp.where(valid, cell_key(cell_of(src)), n_cells)
@@ -430,21 +465,31 @@ def grid_ball_query_multi(radii, nsamples, xyz, xyz_num, new_xyz,
             (ck, src[:, 0], src[:, 1], src[:, 2], iota),
             dimension=0, num_keys=1, is_stable=True)
         src_sorted = jnp.stack([sx, sy, sz], axis=1)
-        bounds_tab = _cell_boundaries(sk, n_cells)
-        # (start, end) fetched as ONE 2-wide row gather, not two scalar ones
-        se_tab = jnp.stack([bounds_tab[:-1], bounds_tab[1:]], axis=1)
+        bounds_tab = _cell_boundaries(sk, n_cells)  # (n_cells + 3,)
+        # tab4[k] = bounds[k..k+3]: run start AND every possible run end
+        # (width 1..3) in ONE 4-wide row gather per (center, row)
+        tab4 = jnp.stack([bounds_tab[i:i + n_cells] for i in range(4)],
+                         axis=1)  # (n_cells, 4)
 
         cc = cell_of(centers)  # (M, 3)
-        nb = neighbor_cells(cc)  # (M, n_off, 3)
-        ok_cell = jnp.all((nb >= 0) & (nb < dims), axis=-1)
-        nk = jnp.where(ok_cell, cell_key(nb), n_cells + 1)
-        se = se_tab[nk]
-        start = se[..., 0]
-        end = jnp.minimum(se[..., 1], start + cell_cap)
+        xlo = jnp.maximum(cc[:, 0] - 1, 0)
+        xhi = jnp.minimum(cc[:, 0] + 1, gx - 1)
+        wid = (xhi - xlo + 1).astype(jnp.int32)  # (M,) in 1..3
+        y, z = row_yz(cc)  # (M, n_row)
+        ok = (y >= 0) & (y < gy) & (z >= 0) & (z < gz)
+        klo = (z * gy + y) * gx + xlo[:, None]
+        se4 = tab4[jnp.where(ok, klo, 0)]  # (M, n_row, 4)
+        start = se4[..., 0]
+        end = jnp.take_along_axis(
+            se4, jnp.broadcast_to(wid[:, None], start.shape)[..., None],
+            axis=-1)[..., 0]  # bounds[klo + wid]
+        end = jnp.minimum(end, start + (NW - 1) * cell_cap)
+        end = jnp.where(ok, end, start)
         if cvalid is not None:
             # invalid centers: empty run => no hits => empty-group output
             end = jnp.where(cvalid[:, None], end, start)
-        cand, _ = _candidate_windows(src_sorted, order, start, cell_cap)
+        cand, _ = _candidate_windows(src_sorted, order, start, cell_cap,
+                                     nw=NW)
         return cand, start, end
 
     def decode(top, nsample):
@@ -459,7 +504,8 @@ def grid_ball_query_multi(radii, nsamples, xyz, xyz_num, new_xyz,
         fill = jnp.where(empty, 0, out[..., 0])
         return jnp.where(got, out, fill[..., None]), empty
 
-    if jax.default_backend() == 'tpu':
+    on_tpu = jax.default_backend() == 'tpu'
+    if on_tpu or _FORCE_KERNEL_INTERPRET:
         # selection runs in the Pallas kernel: one pass over the candidate
         # windows for ALL radii, no top_k sorts (ops/select_tpu.py)
         from .select_tpu import ball_select
@@ -472,10 +518,11 @@ def grid_ball_query_multi(radii, nsamples, xyz, xyz_num, new_xyz,
         b, m = new_xyz.shape[:2]
         nb_blocks = -(-xyz.shape[1] // cell_cap) + 2
         tops = ball_select(
-            cand.reshape(b * m, n_off, 8 * cell_cap),
-            start.reshape(b * m, n_off), end.reshape(b * m, n_off),
+            cand.reshape(b * m, n_row, 4 * NW * cell_cap),
+            start.reshape(b * m, n_row), end.reshape(b * m, n_row),
             new_xyz.reshape(b * m, 3).astype(jnp.float32),
-            radii, nsamples, cell_cap, nb_blocks)
+            radii, nsamples, cell_cap, nb_blocks, nw=NW,
+            interpret=not on_tpu)
         return [decode(t.reshape(b, m, -1), ns)
                 for t, ns in zip(tops, nsamples)]
 

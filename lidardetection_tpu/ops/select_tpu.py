@@ -25,8 +25,8 @@ TM = 8  # center rows per grid step
 
 
 def _select_kernel(cand_ref, start_ref, end_ref, centers_ref, *out_refs,
-                   cap, nb, radii, nsamples):
-    w = 2 * cap
+                   cap, nb, radii, nsamples, nw):
+    w = nw * cap
     n_off = start_ref.shape[1]
     cand = cand_ref[...]  # (TM, n_off, 8*cap) f32 field-major
     cx = cand[:, :, 0 * w:1 * w]
@@ -60,13 +60,15 @@ def _select_kernel(cand_ref, start_ref, end_ref, centers_ref, *out_refs,
 
 
 def ball_select(cand, start, end, centers, radii, nsamples, cap, nb,
-                interpret=False):
+                nw=2, interpret=False):
     """Select per-center top-nsample scores from packed candidate windows.
 
     Args:
-        cand: (R, n_off, 8*cap) f32 field-major windows (x|y|z|orig runs);
-        start/end: (R, n_off) int32 candidate run bounds (end<=start+cap;
-            centers masked off by the caller get end==start);
+        cand: (R, n_off, 4*nw*cap) f32 field-major windows (x|y|z|orig runs,
+            nw cap-blocks per field — ops/pointnet2.py:_candidate_windows);
+        start/end: (R, n_off) int32 candidate run bounds
+            (end <= start + (nw-1)*cap; centers masked off by the caller
+            get end==start);
         centers: (R, 3) f32; radii/nsamples: static tuples; cap/nb: static
             window cap and block count of the packed table.
     Returns:
@@ -77,6 +79,7 @@ def ball_select(cand, start, end, centers, radii, nsamples, cap, nb,
 
     r = cand.shape[0]
     n_off = cand.shape[1]
+    assert cand.shape[2] == 4 * nw * cap, (cand.shape, nw, cap)
     pad = (-r) % TM
     if pad:
         cand = jnp.pad(cand, ((0, pad), (0, 0), (0, 0)))
@@ -87,10 +90,10 @@ def ball_select(cand, start, end, centers, radii, nsamples, cap, nb,
 
     outs = pl.pallas_call(
         functools.partial(_select_kernel, cap=cap, nb=nb, radii=tuple(radii),
-                          nsamples=tuple(nsamples)),
+                          nsamples=tuple(nsamples), nw=nw),
         grid=(rows // TM,),
         in_specs=[
-            pl.BlockSpec((TM, n_off, 8 * cap), lambda i: (i, 0, 0)),
+            pl.BlockSpec((TM, n_off, 4 * nw * cap), lambda i: (i, 0, 0)),
             pl.BlockSpec((TM, n_off), lambda i: (i, 0)),
             pl.BlockSpec((TM, n_off), lambda i: (i, 0)),
             pl.BlockSpec((TM, 3), lambda i: (i, 0)),

@@ -65,3 +65,52 @@ def test_cap_drops_highest_index_candidates():
     assert not bool(empty[0, 0])
     assert set(got[:4].tolist()) == {0, 1, 2, 3}
     assert set(got[4:].tolist()) == {0}  # back-filled with first hit
+
+
+def test_kernel_row_run_path_matches_exact(monkeypatch):
+    """The TPU row-run prep + Pallas ball_select (interpret mode) equals the
+    exact brute-force ball_query when caps don't bind — pins the on-chip
+    path's semantics (x-run merge: 3 consecutive-key cells per window)."""
+    from lidardetection_tpu.ops import pointnet2 as p2
+
+    monkeypatch.setattr(p2, '_FORCE_KERNEL_INTERPRET', True)
+    rng = np.random.RandomState(2)
+    b, n, m = 2, 512, 64
+    src = _cloud(rng, b, n)
+    centers = _cloud(rng, b, m)
+    # push some centers outside bounds to exercise border-cell clamping
+    centers[:, :4, 0] += 20.0
+    num = np.array([n, n - 100], np.int32)
+
+    for radii, nsamples in [((0.8,), (16,)), ((0.8, 1.6), (8, 16))]:
+        refs = [ball_query(r, ns, src, num, centers)
+                for r, ns in zip(radii, nsamples)]
+        outs = p2.grid_ball_query_multi(
+            radii, nsamples, src, num, centers, bounds=BOUNDS, cell_cap=n)
+        for (idx_ref, empty_ref), (idx_g, empty_g) in zip(refs, outs):
+            np.testing.assert_array_equal(np.asarray(empty_ref),
+                                          np.asarray(empty_g))
+            np.testing.assert_array_equal(np.asarray(idx_ref),
+                                          np.asarray(idx_g))
+
+
+def test_kernel_row_run_path_center_validity(monkeypatch):
+    from lidardetection_tpu.ops import pointnet2 as p2
+
+    monkeypatch.setattr(p2, '_FORCE_KERNEL_INTERPRET', True)
+    rng = np.random.RandomState(3)
+    b, n, m = 1, 256, 16
+    src = _cloud(rng, b, n)
+    centers = _cloud(rng, b, m)
+    num = np.array([n], np.int32)
+    cvalid = np.zeros((b, m), bool)
+    cvalid[:, : m // 2] = True
+
+    (idx, empty), = p2.grid_ball_query_multi(
+        (1.0,), (8,), src, num, centers, new_xyz_valid=cvalid,
+        bounds=BOUNDS, cell_cap=n)
+    assert np.all(np.asarray(empty)[~cvalid])
+    (idx_ref, empty_ref), = p2.grid_ball_query_multi(
+        (1.0,), (8,), src, num, centers, new_xyz_valid=cvalid,
+        bounds=BOUNDS, cell_cap=n)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(idx_ref))

@@ -19,17 +19,11 @@ def build_network(model_cfg, num_class, class_names, dataset_info, axis_name=Non
     known = {'PointPillar', 'SECONDNet', 'PointRCNN', 'PartA2Net', 'PVRCNN'}
     if name not in known:
         raise KeyError(f'unknown detector {name}')
-    if 'BALL_QUERY_APPROX_RECALL' in model_cfg:
-        from ..ops.pointnet2 import set_ball_query_recall
-        set_ball_query_recall(model_cfg['BALL_QUERY_APPROX_RECALL'])
-    if 'FPS_SECTORS' in model_cfg:
-        from ..ops.pointnet2 import set_fps_sectors
-        set_fps_sectors(model_cfg['FPS_SECTORS'])
-    if 'BALL_QUERY_GRID_CELL_CAP' in model_cfg:
-        from ..ops.pointnet2 import set_ball_query_grid
-        cap = model_cfg['BALL_QUERY_GRID_CELL_CAP']
-        set_ball_query_grid(
-            None if not cap else dataset_info['point_cloud_range'], cap or 64)
+    # TPU approximation knobs ride the module tree (never module globals,
+    # so two models with different settings coexist in one process)
+    from ..ops.pointnet2 import PointOpKnobs
+    knobs = PointOpKnobs.from_config(
+        model_cfg, dataset_info.get('point_cloud_range'))
     return Detector3D(
         model_cfg=model_cfg, num_class=num_class, class_names=tuple(class_names),
-        dataset_info=dataset_info, axis_name=axis_name)
+        dataset_info=dataset_info, axis_name=axis_name, op_knobs=knobs)

@@ -51,6 +51,8 @@ class VoxelSetAbstraction(nn.Module):
     num_rawpoint_features: int
     dtype: object = None
     axis_name: str | None = None
+    # TPU approximation knobs (ops.pointnet2.PointOpKnobs; None = exact)
+    knobs: object = None
 
     @property
     def num_point_features(self):
@@ -70,7 +72,8 @@ class VoxelSetAbstraction(nn.Module):
         assert cfg.get('SAMPLE_METHOD', 'FPS') == 'FPS'
         points = batch['points']  # (B, N, 3+C)
         num_points = batch['num_points']
-        kp_idx = p2.fps(points[..., 0:3], num_points, num_kp)
+        kp_idx = p2.fps(points[..., 0:3], num_points, num_kp,
+                        knobs=self.knobs)
         keypoints = p2.group_points(points[..., 0:3], kp_idx[..., None]).squeeze(2)
         kp_num = jnp.minimum(num_points, num_kp)
         kp_valid = jnp.arange(num_kp)[None, :] < kp_num[:, None]
@@ -94,6 +97,7 @@ class VoxelSetAbstraction(nn.Module):
                 mlps=tuple(tuple(m) for m in sa['MLPS']),
                 use_xyz=True, zero_empty=True,
                 axis_name=self.axis_name, dtype=self.dtype,
+                knobs=self.knobs,
             )(points[..., 0:3], raw_feats, num_points, training,
               new_xyz=keypoints, new_xyz_num=kp_num)
             feats_list.append(pooled)
@@ -115,6 +119,7 @@ class VoxelSetAbstraction(nn.Module):
                 mlps=tuple(tuple(m) for m in sa['MLPS']),
                 use_xyz=True, zero_empty=True,
                 axis_name=self.axis_name, dtype=self.dtype,
+                knobs=self.knobs,
             )(centers, st.features.astype(jnp.float32), src_valid_num,
               training, new_xyz=keypoints, new_xyz_num=kp_num)
             feats_list.append(pooled)

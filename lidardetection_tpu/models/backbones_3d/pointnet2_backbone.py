@@ -18,6 +18,8 @@ class PointNet2MSG(nn.Module):
     input_channels: int  # 3 + C point features (x, y, z first)
     axis_name: str | None = None
     dtype: object = None
+    # TPU approximation knobs (ops.pointnet2.PointOpKnobs; None = exact)
+    knobs: object = None
 
     @property
     def num_point_features(self):
@@ -51,6 +53,7 @@ class PointNet2MSG(nn.Module):
                 mlps=tuple(tuple(m) for m in mlps_all[k]),
                 use_xyz=sa_cfg.get('USE_XYZ', True),
                 axis_name=self.axis_name, dtype=self.dtype,
+                knobs=self.knobs,
             )(l_xyz[k], l_feats[k], l_num[k], training)
             l_xyz.append(new_xyz)
             l_feats.append(new_feats)

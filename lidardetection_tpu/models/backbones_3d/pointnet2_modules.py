@@ -53,6 +53,8 @@ class PointnetSAModuleMSG(nn.Module):
     # stack-layout semantics (pointnet2_stack QueryAndGroup): groups whose
     # ball query found no neighbor output zeros instead of a repeated fill
     zero_empty: bool = False
+    # TPU approximation knobs (ops.pointnet2.PointOpKnobs; None = exact)
+    knobs: object = None
 
     @nn.compact
     def __call__(self, xyz, features, xyz_num, training, new_xyz=None,
@@ -65,7 +67,7 @@ class PointnetSAModuleMSG(nn.Module):
         b, n, _ = xyz.shape
         if self.npoint is not None:
             if new_xyz is None:
-                fps_idx = p2.fps(xyz, xyz_num, self.npoint)
+                fps_idx = p2.fps(xyz, xyz_num, self.npoint, knobs=self.knobs)
                 new_xyz = p2.group_points(xyz, fps_idx[..., None]).squeeze(2)
                 new_xyz_num = jnp.minimum(xyz_num, self.npoint)
             center_valid = jnp.arange(new_xyz.shape[1])[None, :] < new_xyz_num[:, None]
@@ -78,7 +80,8 @@ class PointnetSAModuleMSG(nn.Module):
         if self.npoint is not None:
             # one grid + candidate gather shared across the MSG radii
             queries = p2.ball_query_multi(self.radii, self.nsamples, xyz,
-                                          xyz_num, new_xyz, center_valid)
+                                          xyz_num, new_xyz, center_valid,
+                                          knobs=self.knobs)
         for ri, (radius, nsample, mlp) in enumerate(
                 zip(self.radii, self.nsamples, self.mlps)):
             if self.npoint is not None and features is not None:

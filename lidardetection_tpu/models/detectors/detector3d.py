@@ -45,6 +45,8 @@ class Detector3D(nn.Module):
     class_names: tuple
     dataset_info: dict
     axis_name: str | None = None
+    # TPU approximation knobs for the point ops (PointOpKnobs; None = exact)
+    op_knobs: object = None
 
     def setup(self):
         cfg = self.model_cfg
@@ -98,7 +100,8 @@ class Detector3D(nn.Module):
                 self.backbone_3d = PointNet2MSG(
                     model_cfg=cfg['BACKBONE_3D'],
                     input_channels=num_point_features,
-                    axis_name=self.axis_name, dtype=self.compute_dtype)
+                    axis_name=self.axis_name, dtype=self.compute_dtype,
+                    knobs=self.op_knobs)
                 point_channels = self.backbone_3d.num_point_features
             else:
                 raise NotImplementedError(name)
@@ -129,7 +132,8 @@ class Detector3D(nn.Module):
                     point_cloud_range=pc_range,
                     num_bev_features=cfg['MAP_TO_BEV']['NUM_BEV_FEATURES'],
                     num_rawpoint_features=num_point_features,
-                    dtype=self.compute_dtype, axis_name=self.axis_name)
+                    dtype=self.compute_dtype, axis_name=self.axis_name,
+                    knobs=self.op_knobs)
                 point_channels = self.pfe.num_point_features
             else:
                 raise NotImplementedError(name)
@@ -206,7 +210,7 @@ class Detector3D(nn.Module):
                 self.roi_head = PointRCNNHead(
                     model_cfg=cfg['ROI_HEAD'], input_channels=point_channels,
                     num_class=nc, dtype=self.compute_dtype,
-                    axis_name=self.axis_name)
+                    axis_name=self.axis_name, knobs=self.op_knobs)
             elif name == 'PartA2FCHead':
                 self.roi_head = PartA2FCHead(
                     model_cfg=cfg['ROI_HEAD'], input_channels=point_channels,

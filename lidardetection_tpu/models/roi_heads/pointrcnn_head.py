@@ -72,6 +72,8 @@ class PointRCNNHead(nn.Module):
     num_class: int = 1
     dtype: object = None
     axis_name: str | None = None
+    # TPU approximation knobs (ops.pointnet2.PointOpKnobs; None = exact)
+    knobs: object = None
 
     def setup(self):
         tc = self.model_cfg['TARGET_CONFIG']
@@ -149,6 +151,7 @@ class PointRCNNHead(nn.Module):
                 nsamples=(sa_cfg['NSAMPLE'][k],),
                 mlps=(tuple(sa_cfg['MLPS'][k]),),
                 use_xyz=True, axis_name=self.axis_name, dtype=self.dtype,
+                knobs=self.knobs,
             )(xyz, feats, num, training)
 
         shared = feats.reshape(b * r, -1)  # (B*R, C)

@@ -11,6 +11,7 @@ dodge padding, which XLA wants anyway.
 All functions are jit/vmap/grad-safe with static shapes.
 """
 
+import dataclasses
 import functools
 
 import jax
@@ -19,22 +20,6 @@ import numpy as np
 
 _BIG = 1e10
 
-# TPU ball-query top-k recall target; None = exact top_k everywhere.
-# Configured per-model via MODEL.BALL_QUERY_APPROX_RECALL (build_network).
-BALL_QUERY_APPROX_RECALL = 0.95
-
-
-def set_ball_query_recall(recall):
-    """Set the TPU approx ball-query recall target (None = exact)."""
-    global BALL_QUERY_APPROX_RECALL
-    BALL_QUERY_APPROX_RECALL = recall
-
-
-# Grid-bucketed ball query on TPU: (bounds, cell_cap) or None = brute
-# force. Configured per-model via MODEL.BALL_QUERY_GRID_CELL_CAP (+ the
-# dataset's POINT_CLOUD_RANGE as bounds). Only engages for source sets
-# large enough that 27*cell_cap candidates beat the M x N scan.
-BALL_QUERY_GRID = None
 _GRID_MIN_SOURCES = 4096
 
 # Tests: route grid_ball_query_multi through the Pallas row-run kernel in
@@ -42,31 +27,54 @@ _GRID_MIN_SOURCES = 4096
 _FORCE_KERNEL_INTERPRET = False
 
 
-def set_ball_query_grid(bounds, cell_cap=64):
-    """Enable (bounds+cap) or disable (None) TPU grid-bucketed ball query."""
-    global BALL_QUERY_GRID
-    BALL_QUERY_GRID = None if bounds is None else (tuple(bounds), int(cell_cap))
+@dataclasses.dataclass(frozen=True)
+class PointOpKnobs:
+    """TPU approximation knobs for the point ops, threaded explicitly.
+
+    Carried as a (hashable) module attribute by every network module that
+    calls fps/ball_query — never module globals, so two models with
+    different settings coexist in one process. `PointOpKnobs()` (and
+    knobs=None) means EXACT semantics everywhere; build_network constructs
+    the shipping values from MODEL.{BALL_QUERY_APPROX_RECALL, FPS_SECTORS,
+    BALL_QUERY_GRID_CELL_CAP} + the dataset's POINT_CLOUD_RANGE.
+
+    All knobs only engage on TPU: CPU stays exact so golden tests pin the
+    CUDA reference semantics.
+
+    Attributes:
+        bq_recall: approx_max_k recall target for ball-query top-k
+            (None = exact top_k).
+        bq_grid: (bounds6, cell_cap) enabling grid-bucketed ball query for
+            source sets >= 4096 points (None = brute force).
+        fps_sectors: sector count for sectorized FPS (None/1 = exact
+            sequential FPS).
+    """
+
+    bq_recall: float | None = None
+    bq_grid: tuple | None = None
+    fps_sectors: int | None = None
+
+    @staticmethod
+    def from_config(model_cfg, point_cloud_range):
+        """Shipping knobs from a MODEL cfg dict (defaults = TPU fast path)."""
+        recall = model_cfg.get('BALL_QUERY_APPROX_RECALL', 0.95)
+        sectors = model_cfg.get('FPS_SECTORS', 32)
+        cap = model_cfg.get('BALL_QUERY_GRID_CELL_CAP', None)
+        grid = None
+        if cap and point_cloud_range is not None:
+            grid = (tuple(float(v) for v in point_cloud_range), int(cap))
+        return PointOpKnobs(bq_recall=recall, bq_grid=grid,
+                            fps_sectors=sectors)
 
 
-# Sectors for TPU farthest-point sampling (sector_fps); None/1 = exact
-# sequential FPS everywhere. Configured per-model via MODEL.FPS_SECTORS.
-FPS_SECTORS = 32
-
-
-def set_fps_sectors(n):
-    """Set the TPU sectorized-FPS sector count (None or 1 = exact)."""
-    global FPS_SECTORS
-    FPS_SECTORS = n
-
-
-def fps(xyz, num_valid, npoint):
-    """Dispatch: sectorized FPS on TPU (FPS_SECTORS), exact elsewhere.
+def fps(xyz, num_valid, npoint, knobs=None):
+    """Dispatch: sectorized FPS on TPU (knobs.fps_sectors), exact elsewhere.
 
     CPU stays exact so golden tests pin the CUDA reference semantics
     (sampling_gpu.cu:101-170); TPU trades the npoint-long sequential argmax
     chain for PV-RCNN++-style sector-parallel FPS.
     """
-    s = FPS_SECTORS
+    s = knobs.fps_sectors if knobs is not None else None
     if s and s > 1 and jax.default_backend() == 'tpu':
         return sector_fps(xyz, num_valid, npoint, s)
     return farthest_point_sample(xyz, num_valid, npoint)
@@ -203,7 +211,8 @@ def sector_fps(xyz, num_valid, npoint, n_sectors=32):
     return jax.vmap(one)(xyz, num_valid)
 
 
-def ball_query(radius, nsample, xyz, xyz_num, new_xyz, new_xyz_valid=None):
+def ball_query(radius, nsample, xyz, xyz_num, new_xyz, new_xyz_valid=None,
+               knobs=None):
     """First-`nsample` neighbors within `radius` (index order).
 
     Mirrors ball_query_kernel (pointnet2_batch/src/ball_query_gpu.cu:15-54):
@@ -213,15 +222,18 @@ def ball_query(radius, nsample, xyz, xyz_num, new_xyz, new_xyz_valid=None):
 
     Args:
         xyz: (B, N, 3) source points; xyz_num: (B,) valid counts;
-        new_xyz: (B, M, 3) query centers; new_xyz_valid: (B, M) bool.
+        new_xyz: (B, M, 3) query centers; new_xyz_valid: (B, M) bool;
+        knobs: PointOpKnobs (None = exact).
     """
-    if (BALL_QUERY_GRID is not None
+    bq_grid = knobs.bq_grid if knobs is not None else None
+    if (bq_grid is not None
             and xyz.shape[1] >= _GRID_MIN_SOURCES
             and jax.default_backend() == 'tpu'):
-        bounds, cap = BALL_QUERY_GRID
+        bounds, cap = bq_grid
         return grid_ball_query(radius, nsample, xyz, xyz_num, new_xyz,
                                new_xyz_valid, bounds=bounds, cell_cap=cap)
     r2 = radius * radius
+    recall = knobs.bq_recall if knobs is not None else None
 
     def one(src, n, centers, cvalid):
         nn = src.shape[0]
@@ -236,7 +248,6 @@ def ball_query(radius, nsample, xyz, xyz_num, new_xyz, new_xyz_valid=None):
         # hundreds of ms at VSA shapes)
         score = jnp.where(mask, -jnp.arange(nn, dtype=jnp.float32)[None, :],
                           -jnp.inf)
-        recall = BALL_QUERY_APPROX_RECALL
         if nsample < nn and recall is not None \
                 and jax.default_backend() == 'tpu':
             # TPU PartialReduce top-k (~6x cheaper than the sort-based
@@ -246,9 +257,9 @@ def ball_query(radius, nsample, xyz, xyz_num, new_xyz, new_xyz_valid=None):
             # arbitrary as the reference's index order). When a center has
             # <= nsample hits, approx_max_k can drop true neighbors
             # outright (slots then repeat the first hit), diverging from
-            # the CUDA semantics — disable via set_ball_query_recall(None)
-            # or cfg MODEL.BALL_QUERY_APPROX_RECALL: null to get the exact
-            # path (CPU is always exact, so golden tests match the CUDA
+            # the CUDA semantics — disable via knobs.bq_recall=None or cfg
+            # MODEL.BALL_QUERY_APPROX_RECALL: null to get the exact path
+            # (CPU is always exact, so golden tests match the CUDA
             # semantics bit-for-bit).
             top, _ = jax.lax.approx_max_k(score, nsample,
                                           recall_target=recall)
@@ -271,21 +282,24 @@ def ball_query(radius, nsample, xyz, xyz_num, new_xyz, new_xyz_valid=None):
 
 
 def ball_query_multi(radii, nsamples, xyz, xyz_num, new_xyz,
-                     new_xyz_valid=None):
+                     new_xyz_valid=None, knobs=None):
     """Ball query for several radii over the same sources and centers.
 
-    On TPU with the grid path engaged this shares one grid + candidate
-    gather across all radii (see grid_ball_query_multi); otherwise it is
-    per-radius `ball_query`. Returns [(idx, empty)] per radius.
+    On TPU with the grid path engaged (knobs.bq_grid) this shares one grid
+    + candidate gather across all radii (see grid_ball_query_multi);
+    otherwise it is per-radius `ball_query`. Returns [(idx, empty)] per
+    radius.
     """
-    if (BALL_QUERY_GRID is not None
+    bq_grid = knobs.bq_grid if knobs is not None else None
+    if (bq_grid is not None
             and xyz.shape[1] >= _GRID_MIN_SOURCES
             and jax.default_backend() == 'tpu'):
-        bounds, cap = BALL_QUERY_GRID
+        bounds, cap = bq_grid
         return grid_ball_query_multi(radii, nsamples, xyz, xyz_num, new_xyz,
                                      new_xyz_valid, bounds=bounds,
                                      cell_cap=cap)
-    return [ball_query(r, ns, xyz, xyz_num, new_xyz, new_xyz_valid)
+    return [ball_query(r, ns, xyz, xyz_num, new_xyz, new_xyz_valid,
+                       knobs=knobs)
             for r, ns in zip(radii, nsamples)]
 
 

@@ -9,6 +9,7 @@ unlike the detector's 1e-3/0.01 BNs.
 """
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ...ops import pointnet2 as p2
@@ -82,26 +83,55 @@ class PointnetSAModuleMSG(nn.Module):
             queries = p2.ball_query_multi(self.radii, self.nsamples, xyz,
                                           xyz_num, new_xyz, center_valid,
                                           knobs=self.knobs)
+        packed = None
+        c0s = [int(m[0]) for m in self.mlps]
+        if self.npoint is not None and features is not None:
+            # Split first MLP layer: Dense is linear and grouping is a
+            # gather, so Dense(gather(feats)) == gather(Dense(feats)).
+            # Project the N source features ONCE per radius (N x C x c0)
+            # instead of per slot (M x nsample x C x c0) — at RoI-grid-pool
+            # shapes (M=R*6^3, C=128) this removes ~20x of first-layer
+            # FLOPs — then pack [xyz | proj_0 | proj_1 ...] so each radius
+    # groups with ONE row gather (XLA:TPU gathers bill ~12 ns per
+            # INDEX regardless of row width; separate xyz + proj gathers
+            # doubled the billed indices).
+            feats_in = features
+            if self.dtype is not None:
+                feats_in = feats_in.astype(self.dtype)
+            projs = [nn.Dense(c0, use_bias=False, dtype=self.dtype,
+                              name=f'pre_proj_{ri}')(feats_in)
+                     for ri, c0 in enumerate(c0s)]
+            # bf16 projections ride as bit-cast f32 pairs so xyz keeps f32
+            # precision and the row stays one dtype (halves gather bytes
+            # vs upcasting the features)
+            bf16 = self.dtype == jnp.bfloat16
+            if bf16:
+                def as_f32bits(p):
+                    bn, nn_, c0 = p.shape
+                    return jax.lax.bitcast_convert_type(
+                        p.astype(jnp.bfloat16).reshape(bn, nn_, c0 // 2, 2),
+                        jnp.float32)
+                projs_packed = [as_f32bits(p) for p in projs]
+            else:
+                projs_packed = [p.astype(xyz.dtype) for p in projs]
+            packed = jnp.concatenate([xyz] + projs_packed, axis=-1)
+            cols = [c.shape[-1] for c in projs_packed]
         for ri, (radius, nsample, mlp) in enumerate(
                 zip(self.radii, self.nsamples, self.mlps)):
-            if self.npoint is not None and features is not None:
-                # Split first MLP layer: Dense is linear and grouping is a
-                # gather, so Dense(gather(feats)) == gather(Dense(feats)).
-                # Project the N source features ONCE (N x C x c0) instead of
-                # per slot (M x nsample x C x c0) — at RoI-grid-pool shapes
-                # (M=R*6^3, C=128) this removes ~20x of first-layer FLOPs
-                # and the gather moves c0-wide rows instead of C-wide.
+            if packed is not None:
                 idx, empty = queries[ri]
-                c0 = mlp[0]
-                feats_in = features
-                if self.dtype is not None:
-                    feats_in = feats_in.astype(self.dtype)
-                src_proj = nn.Dense(c0, use_bias=False, dtype=self.dtype,
-                                    name=f'pre_proj_{ri}')(feats_in)
-                x = p2.group_points(src_proj, idx)  # (B, M, ns, c0)
+                c0 = c0s[ri]
+                col = 3 + sum(cols[:ri])
+                grp = p2.group_points(packed, idx)  # (B, M, ns, 3+sum cols)
+                grouped_xyz = grp[..., 0:3] - new_xyz[:, :, None, :]
+                x = grp[..., col:col + cols[ri]]
+                if bf16:
+                    bm, mm, ns_ = x.shape[:3]
+                    x = jax.lax.bitcast_convert_type(
+                        x, jnp.bfloat16).reshape(bm, mm, ns_, c0)
+                elif self.dtype is not None:
+                    x = x.astype(self.dtype)
                 if self.use_xyz:
-                    grouped_xyz = (p2.group_points(xyz, idx)
-                                   - new_xyz[:, :, None, :])
                     if self.dtype is not None:
                         grouped_xyz = grouped_xyz.astype(self.dtype)
                     x = x + nn.Dense(c0, use_bias=False, dtype=self.dtype,

@@ -445,26 +445,20 @@ def grid_ball_query_multi(radii, nsamples, xyz, xyz_num, new_xyz,
     # window per run vs three 2-block windows).
     NW = 4  # window blocks per run: covers run <= 3*cap at any offset
     if gz <= 2:
-        dys = jnp.asarray([-1, 0, 1], jnp.int32)
+        # rows enumerate ABSOLUTE z layers x dy; table keyed by xy cell
         n_row = 3 * gz
-
-        def row_yz(cc):
-            m_ = cc.shape[0]
-            y = cc[:, None, None, 1] + dys[None, :, None]
-            y = jnp.broadcast_to(y, (m_, 3, gz))
-            z = jnp.broadcast_to(
-                jnp.arange(gz, dtype=jnp.int32)[None, None, :], (m_, 3, gz))
-            return y.reshape(m_, n_row), z.reshape(m_, n_row)
+        row_ds = [zz * gx * gy + dy * gx
+                  for dy in (-1, 0, 1) for zz in range(gz)]
+        row_dy = [dy for dy in (-1, 0, 1) for _ in range(gz)]
+        row_dz = [None] * n_row  # z is absolute: always valid
+        n_keys = gx * gy
     else:
-        off_yz = jnp.asarray(
-            [[dy, dz] for dz in (-1, 0, 1) for dy in (-1, 0, 1)],
-            jnp.int32)  # (9, 2)
         n_row = 9
-
-        def row_yz(cc):
-            y = cc[:, None, 1] + off_yz[None, :, 0]
-            z = cc[:, None, 2] + off_yz[None, :, 1]
-            return y, z
+        row_ds = [(dz * gy + dy) * gx
+                  for dz in (-1, 0, 1) for dy in (-1, 0, 1)]
+        row_dy = [dy for _ in (-1, 0, 1) for dy in (-1, 0, 1)]
+        row_dz = [dz for dz in (-1, 0, 1) for _ in (-1, 0, 1)]
+        n_keys = n_cells
 
     def prep(src, n, centers, cvalid):
         """Sort + row-run lookup + candidate windows (everything but select)."""
@@ -479,26 +473,53 @@ def grid_ball_query_multi(radii, nsamples, xyz, xyz_num, new_xyz,
             (ck, src[:, 0], src[:, 1], src[:, 2], iota),
             dimension=0, num_keys=1, is_stable=True)
         src_sorted = jnp.stack([sx, sy, sz], axis=1)
-        bounds_tab = _cell_boundaries(sk, n_cells)  # (n_cells + 3,)
-        # tab4[k] = bounds[k..k+3]: run start AND every possible run end
-        # (width 1..3) in ONE 4-wide row gather per (center, row)
-        tab4 = jnp.stack([bounds_tab[i:i + n_cells] for i in range(4)],
-                         axis=1)  # (n_cells, 4)
+        # boundaries[k] = first sorted position with key >= k, via
+        # scatter-min + reverse cummin (~0.6 ms; the searchsorted
+        # method='sort' merge costs ~4.4 ms/sample at raw-scan shapes)
+        tbl = jnp.full((n_cells + 3,), nn_, jnp.int32).at[sk].min(
+            iota, mode='drop')
+        bt = jax.lax.associative_scan(jnp.minimum, tbl[::-1])[::-1]
+
+        # Per-CELL run table, no per-center tab4 gather: for interior
+        # cells, row j's run covers keys [key + D_j - 1, key + D_j + 2),
+        # i.e. start/end are CONSTANT shifts of the boundary table; x
+        # borders pick the un-/less-shifted variant. All vector ops over
+        # the n_keys cells + ONE small row gather per center (the old
+        # (M, n_row) 4-wide tab4 gather cost ~3 ms/sample).
+        pad = n_cells + 4
+        btp = jnp.pad(bt, (pad, pad), mode='edge')
+
+        def shifted(d):
+            return jax.lax.slice(btp, (pad + d,), (pad + d + n_keys,))
+
+        kk = jnp.arange(n_keys, dtype=jnp.int32)
+        cx_ = kk % gx
+        cy_ = (kk // gx) % gy
+        cz_ = kk // (gx * gy)
+        x_gt0 = cx_ > 0
+        x_lt = cx_ < gx - 1
+        cols = []
+        for j in range(n_row):
+            d = row_ds[j]
+            ok_j = (cy_ + row_dy[j] >= 0) & (cy_ + row_dy[j] < gy)
+            if row_dz[j] is not None:
+                ok_j &= (cz_ + row_dz[j] >= 0) & (cz_ + row_dz[j] < gz)
+            start_j = jnp.where(x_gt0, shifted(d - 1), shifted(d))
+            end_j = jnp.where(x_lt, shifted(d + 2), shifted(d + 1))
+            end_j = jnp.where(ok_j, jnp.maximum(end_j, start_j), start_j)
+            cols.append(start_j)
+            cols.append(end_j)
+        runs = jnp.stack(cols, axis=1)  # (n_keys, 2*n_row)
 
         cc = cell_of(centers)  # (M, 3)
-        xlo = jnp.maximum(cc[:, 0] - 1, 0)
-        xhi = jnp.minimum(cc[:, 0] + 1, gx - 1)
-        wid = (xhi - xlo + 1).astype(jnp.int32)  # (M,) in 1..3
-        y, z = row_yz(cc)  # (M, n_row)
-        ok = (y >= 0) & (y < gy) & (z >= 0) & (z < gz)
-        klo = (z * gy + y) * gx + xlo[:, None]
-        se4 = tab4[jnp.where(ok, klo, 0)]  # (M, n_row, 4)
-        start = se4[..., 0]
-        end = jnp.take_along_axis(
-            se4, jnp.broadcast_to(wid[:, None], start.shape)[..., None],
-            axis=-1)[..., 0]  # bounds[klo + wid]
+        if gz <= 2:
+            key = cc[:, 1] * gx + cc[:, 0]
+        else:
+            key = cell_key(cc)
+        se = runs[key]  # (M, 2*n_row) — the single row gather
+        start = se[:, 0::2]
+        end = se[:, 1::2]
         end = jnp.minimum(end, start + (NW - 1) * cell_cap)
-        end = jnp.where(ok, end, start)
         if cvalid is not None:
             # invalid centers: empty run => no hits => empty-group output
             end = jnp.where(cvalid[:, None], end, start)

@@ -21,7 +21,9 @@ import functools
 import jax
 import jax.numpy as jnp
 
-TM = 8  # center rows per grid step
+# center rows per grid step: 32 amortizes the per-step window DMA
+# (measured 7.4 -> 5.4 ms at VSA raw shapes vs TM=8; 128 OOMs VMEM)
+TM = 32
 
 
 def _select_kernel(cand_ref, start_ref, end_ref, centers_ref, *out_refs,

@@ -167,8 +167,15 @@ def sparse_conv_apply(features, valid_mask, rulebook, weights):
     elif variant == 'v3':
         n_k = rulebook.shape[-1]
         kz = 3 if n_k % 3 == 0 else 1
+        # window blocks: the one-hot build cost is ~ W * K * V, so the
+        # narrower 3-block window wins wherever its tail-DMA rate stays
+        # low (swept on-chip 2026-08-20, tools/microbench_rbconv.py:
+        # C16/V41k 3.96 vs 4.57, C32/V33k 3.55 vs 4.10, C64/V16k 2.39 vs
+        # 2.60; only C64/V25k prefers 4: 3.83 vs 4.30)
+        n_wg = 4 if (features.shape[-1] >= 64
+                     and features.shape[1] >= 20000) else 3
         kernel = functools.partial(
-            sparse_conv_tpu.rulebook_conv_pallas_v3, kernel_z=kz)
+            sparse_conv_tpu.rulebook_conv_pallas_v3, kernel_z=kz, n_wg=n_wg)
     else:
         kernel = sparse_conv_tpu.rulebook_conv_pallas
 

@@ -90,7 +90,9 @@ def main():
 
     bench(sct.rulebook_conv_pallas, 'v1 t1024/b256/w5')
     for t, b_, nw in ((256, 128, 4), (256, 128, 3), (512, 128, 5),
-                      (512, 128, 4), (512, 256, 3), (128, 128, 3)):
+                      (512, 128, 4), (512, 256, 3), (128, 128, 3),
+                      (256, 64, 5), (256, 64, 6), (128, 64, 4),
+                      (128, 64, 5)):
         kz = 3 if args.k % 3 == 0 else 1
         bench(functools.partial(sct.rulebook_conv_pallas_v3, kernel_z=kz,
                                 t_out=t, blk=b_, n_wg=nw),

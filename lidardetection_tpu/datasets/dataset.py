@@ -60,8 +60,11 @@ class DatasetTemplate:
         if self.grid_size is None or model_cfg is None or max_voxels is None:
             return
         from ..ops.sparse_plan import backbone_plan
+        # training plans additionally ship each down op's transposed
+        # rulebook so the conv backward stays on the Pallas kernel
         self.sparse_plan = backbone_plan(
-            model_cfg, tuple(int(g) for g in self.grid_size), int(max_voxels))
+            model_cfg, tuple(int(g) for g in self.grid_size),
+            int(max_voxels), training=self.training)
 
     @property
     def mode(self):

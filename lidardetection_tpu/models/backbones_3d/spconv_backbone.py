@@ -20,7 +20,12 @@ from ..layers import MaskedBatchNorm
 
 
 class SparseConvLayer(nn.Module):
-    """One sparse conv (given a prebuilt rulebook) + BN + ReLU."""
+    """One sparse conv (given a prebuilt rulebook) + BN + ReLU.
+
+    subm=True marks a shared-table submanifold conv, whose training
+    backward runs the Pallas kernel over the offset-flipped rulebook;
+    down/inverse convs pass rb_bwd/in_valid (sparse.sparse_conv_apply).
+    """
 
     out_channels: int
     kernel_volume: int
@@ -28,16 +33,20 @@ class SparseConvLayer(nn.Module):
     use_relu: bool = True
     axis_name: str | None = None
     dtype: object = None
+    subm: bool = False
 
     @nn.compact
-    def __call__(self, features, valid_mask, rulebook, training):
+    def __call__(self, features, valid_mask, rulebook, training,
+                 rb_bwd=None, in_valid=None):
         cin = features.shape[-1]
         w = self.param('kernel', nn.initializers.lecun_normal(),
                        (self.kernel_volume, cin, self.out_channels))
         if self.dtype is not None:
             features = features.astype(self.dtype)
             w = w.astype(self.dtype)
-        out = sparse.sparse_conv_apply(features, valid_mask, rulebook, w)
+        out = sparse.sparse_conv_apply(features, valid_mask, rulebook, w,
+                                       rb_bwd=rb_bwd, in_valid=in_valid,
+                                       subm=self.subm)
         if self.dtype is not None:
             out = out.astype(self.dtype)
         if self.use_norm:
@@ -58,10 +67,11 @@ class SparseBasicBlock(nn.Module):
     @nn.compact
     def __call__(self, features, valid_mask, rulebook, training):
         identity = features
-        x = SparseConvLayer(self.channels, rulebook.shape[-1],
+        x = SparseConvLayer(self.channels, rulebook.shape[-1], subm=True,
                             axis_name=self.axis_name, dtype=self.dtype)(
             features, valid_mask, rulebook, training)
         x = SparseConvLayer(self.channels, rulebook.shape[-1], use_relu=False,
+                            subm=True,
                             axis_name=self.axis_name, dtype=self.dtype)(
             x, valid_mask, rulebook, training)
         out = nn.relu(x + identity.astype(x.dtype))
@@ -123,16 +133,16 @@ class VoxelBackBone8x(nn.Module):
             vm = st.valid_mask
             f = st.features
             if first_plain:
-                f = SparseConvLayer(channels, 27, axis_name=ax, dtype=dt)(
-                    f, vm, rule, training)
+                f = SparseConvLayer(channels, 27, subm=True, axis_name=ax,
+                                    dtype=dt)(f, vm, rule, training)
             if self.residual:
                 for _ in range(n_blocks):
                     f = SparseBasicBlock(channels, axis_name=ax, dtype=dt)(
                         f, vm, rule, training)
             else:
                 for _ in range(n_blocks):
-                    f = SparseConvLayer(channels, 27, axis_name=ax, dtype=dt)(
-                        f, vm, rule, training)
+                    f = SparseConvLayer(channels, 27, subm=True, axis_name=ax,
+                                        dtype=dt)(f, vm, rule, training)
             return st._replace(features=f)
 
         def downsample(st, channels, stride, padding, kernel, capacity, name):
@@ -151,8 +161,13 @@ class VoxelBackBone8x(nn.Module):
                 rule = sparse.build_strided_rulebook(
                     st, out_coords, out_shape, kernel, stride, padding)
             vm = out_coords[..., 0] >= 0
+            # training backward: the plan ships a transposed rulebook
+            # (rb_<name>_bwd over the INPUT table) when available
+            rb_bwd = batch.get(f'rb_{name}_bwd') if host else None
             f = SparseConvLayer(channels, rule.shape[-1], axis_name=ax,
-                                dtype=dt)(st.features, vm, rule, training)
+                                dtype=dt)(st.features, vm, rule, training,
+                                          rb_bwd=rb_bwd,
+                                          in_valid=st.valid_mask)
             return sparse.SparseTensor(f, out_coords, out_num, out_shape)
 
         # conv_input: SubMConv3d(C, 16) + conv1 stage

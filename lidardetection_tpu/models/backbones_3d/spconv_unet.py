@@ -55,11 +55,11 @@ class UNetV2(nn.Module):
             vm = st.valid_mask
             f = st.features
             if first_plain:
-                f = SparseConvLayer(channels, 27, axis_name=ax, dtype=dt)(
-                    f, vm, rule, training)
+                f = SparseConvLayer(channels, 27, subm=True, axis_name=ax,
+                                    dtype=dt)(f, vm, rule, training)
             for _ in range(n_layers):
-                f = SparseConvLayer(channels, 27, axis_name=ax, dtype=dt)(
-                    f, vm, rule, training)
+                f = SparseConvLayer(channels, 27, subm=True, axis_name=ax,
+                                    dtype=dt)(f, vm, rule, training)
             return st._replace(features=f), rule
 
         def down(st, channels, stride, padding, kernel, capacity, name):
@@ -78,8 +78,11 @@ class UNetV2(nn.Module):
                 rule = sparse.build_strided_rulebook(
                     st, out_coords, out_shape, kernel, stride, padding)
             vm = out_coords[..., 0] >= 0
+            rb_bwd = batch.get(f'rb_{name}_bwd') if host else None
             f = SparseConvLayer(channels, rule.shape[-1], axis_name=ax,
-                                dtype=dt)(st.features, vm, rule, training)
+                                dtype=dt)(st.features, vm, rule, training,
+                                          rb_bwd=rb_bwd,
+                                          in_valid=st.valid_mask)
             geom = (kernel, stride, padding)
             return sparse.SparseTensor(f, out_coords, out_num, out_shape), geom
 
@@ -119,15 +122,16 @@ class UNetV2(nn.Module):
                                        axis_name=ax, dtype=dt)(
                 lateral.features, vm, lateral_rule, training)
             x_cat = jnp.concatenate([bottom_feats, x_trans], axis=-1)
-            x_m = SparseConvLayer(channels, 27, axis_name=ax, dtype=dt)(
-                x_cat, vm, lateral_rule, training)
+            x_m = SparseConvLayer(channels, 27, subm=True, axis_name=ax,
+                                  dtype=dt)(x_cat, vm, lateral_rule, training)
             # channel_reduction (spconv_unet.py:145-159): fold 2C -> C by sum
             n, c_in = x_cat.shape[1], x_cat.shape[-1]
             red = x_cat.reshape(x_cat.shape[0], n, channels, -1).sum(-1)
             x = x_m + red.astype(x_m.dtype)
             if last:
-                return SparseConvLayer(channels, 27, axis_name=ax, dtype=dt)(
-                    x, vm, lateral_rule, training)
+                return SparseConvLayer(channels, 27, subm=True, axis_name=ax,
+                                       dtype=dt)(x, vm, lateral_rule,
+                                                 training)
             if host:
                 inv_rule = batch[f'rb_{inv_name}']
             else:
@@ -135,9 +139,14 @@ class UNetV2(nn.Module):
                 inv_rule = sparse.build_inverse_rulebook(
                     lateral._replace(features=x), up_st.coords,
                     up_st.spatial_shape, kernel, stride, padding)
+            # grad of an inverse conv flows up->down through the PAIRED
+            # down op's forward rulebook (same offset enumeration)
+            down_name = inv_name.replace('inv', 'down')
+            rb_bwd = batch.get(f'rb_{down_name}') if host else None
             return SparseConvLayer(inv_out, inv_rule.shape[-1], axis_name=ax,
                                    dtype=dt)(x, up_st.valid_mask, inv_rule,
-                                             training)
+                                             training, rb_bwd=rb_bwd,
+                                             in_valid=vm)
 
         # decoder channel plan (spconv_unet.py:110-131):
         # inv4: 64->64, inv3: 64->32, inv2: 32->16, final conv5: 16->16

@@ -140,7 +140,8 @@ def _conv_apply_xla(features, valid_mask, rulebook, weights):
     return jax.vmap(one)(features, rulebook, valid_mask)
 
 
-def sparse_conv_apply(features, valid_mask, rulebook, weights):
+def sparse_conv_apply(features, valid_mask, rulebook, weights,
+                      rb_bwd=None, in_valid=None, subm=False):
     """Gather-GEMM: out[o] = sum_k W[k] @ in[rule[o, k]].
 
     Args:
@@ -148,11 +149,22 @@ def sparse_conv_apply(features, valid_mask, rulebook, weights):
         rulebook: (B, V_out, K) rows into V_in (V_in = miss), every column
             ascending among hits (all build_*_rulebook outputs qualify);
         weights: (K, C_in, C_out).
+        rb_bwd: optional (B, V_in, K) transposed rulebook for the input
+            gradient (rb_bwd[i, k] = the output row whose offset-k input
+            is i, or V_out for none) — the plan's 'inv' rulebook of a down
+            op, or the paired down rulebook for an inverse conv.
+        in_valid: (B, V_in) input-table validity (required with rb_bwd).
+        subm: submanifold conv on a shared table — the transposed rulebook
+            is the FORWARD rulebook with the kernel offsets reversed
+            (offset delta_k maps o->i iff -delta_k maps i->o), so no extra
+            rulebook is needed.
     Returns: (B, V_out, C_out) float32.
 
     On TPU the forward runs the Pallas windowed one-hot kernel
-    (ops/sparse_conv_tpu.py); the backward differentiates the XLA
-    reference implementation.
+    (ops/sparse_conv_tpu.py). Backward: dW always runs the Pallas dW
+    kernel (transposed contraction over the SAME monotone rulebook);
+    df runs the forward kernel over the transposed rulebook whenever one
+    is derivable (subm flip / rb_bwd), else falls back to the XLA vjp.
     """
     if jax.devices()[0].platform != 'tpu':
         return _conv_apply_xla(features, valid_mask, rulebook, weights)
@@ -189,10 +201,28 @@ def sparse_conv_apply(features, valid_mask, rulebook, weights):
 
     def bwd(res, g):
         f, w = res
-        _, vjp = jax.vjp(
-            lambda f2, w2: _conv_apply_xla(f2, valid_mask, rulebook, w2),
-            f, w)
-        return vjp(g)
+        gm = g * valid_mask[..., None]
+        n_k = rulebook.shape[-1]
+        kz = 3 if n_k % 3 == 0 else 1
+        dw = sparse_conv_tpu.rulebook_conv_dw_pallas(
+            f, rulebook, gm, kernel_z=kz).astype(w.dtype)
+        rb_b = rulebook if subm else rb_bwd
+        if rb_b is not None:
+            # subm: the shared-table involution rb[i, k] = o <=>
+            # rb[o, K-1-k] = i means df gathers through the FORWARD
+            # rulebook with flipped+transposed weights. Plan-built
+            # transposed rulebooks (down/inv) preserve the offset index,
+            # so only the weight transpose applies.
+            wb = jnp.flip(w, axis=0) if subm else w
+            wb = jnp.swapaxes(wb, 1, 2)
+            iv = valid_mask if subm else in_valid
+            df = kernel(gm.astype(f.dtype), rb_b, wb)
+            df = (df * iv[..., None]).astype(f.dtype)
+        else:  # no transposed rulebook available: XLA vjp for df only
+            _, vjp = jax.vjp(
+                lambda f2: _conv_apply_xla(f2, valid_mask, rulebook, w), f)
+            df = vjp(g)[0]
+        return df, dw
 
     apply.defvjp(fwd, bwd)
     return apply(features, weights)

@@ -403,6 +403,147 @@ def rulebook_conv_pallas_v3(features, rulebook, weights, kernel_z=3,
     return jnp.swapaxes(out_t, 1, 2)[:, :v_out]
 
 
+def _dw_kernel(qg_ref, eb_ref, rt_ref, g_any, f_any, out_ref,
+               fwin, gsc, gtile, tail, sem, gsem, tsem,
+               *, blk, t_out, n_k, n_wg, n_groups, c, c_out):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    m = n_k // n_groups
+    w = n_wg * blk
+    dt = fwin.dtype
+    prec = None if dt == jnp.bfloat16 else jax.lax.Precision.HIGHEST
+
+    gd = pltpu.make_async_copy(
+        g_any.at[b, :, pl.ds(t * t_out, t_out)], gtile, gsem)
+    gd.start()
+
+    def dma(g, slot):
+        base = qg_ref[b, g, t] * blk
+        return pltpu.make_async_copy(
+            f_any.at[b, :, pl.ds(base, w)], fwin.at[slot], sem.at[slot])
+
+    dma(0, 0).start()
+    subi = jax.lax.broadcasted_iota(jnp.int32, (w, t_out), 0)
+    subi1 = jax.lax.broadcasted_iota(jnp.int32, (blk, t_out), 0)
+
+    for g in range(n_groups):
+        slot = g % 2
+        if g + 1 < n_groups:
+            dma(g + 1, 1 - slot).start()
+        dma(g, slot).wait()
+        base = qg_ref[b, g, t] * blk
+        for j in range(m):
+            k = g * m + j
+            gsc[:, j * t_out:(j + 1) * t_out] = (
+                subi + base == rt_ref[0, 0, k][None, :]).astype(dt)
+        gall = jax.lax.dot_general(
+            fwin[slot], gsc[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)  # (C, m*T)
+
+        def extra(jb, gall):
+            start = jb * blk
+            d = pltpu.make_async_copy(
+                f_any.at[b, :, pl.ds(start, blk)], tail, tsem)
+            d.start()
+            d.wait()
+            for j in range(m):
+                k = g * m + j
+                gsc[blk:2 * blk, j * t_out:(j + 1) * t_out] = (
+                    subi1 + start == rt_ref[0, 0, k][None, :]).astype(dt)
+            return gall + jax.lax.dot_general(
+                tail[...], gsc[blk:2 * blk, :], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec)
+
+        gall = jax.lax.fori_loop(
+            qg_ref[b, g, t] + n_wg, eb_ref[b, g, t], extra, gall)
+
+        if g == 0:
+            gd.wait()
+        # dW[k] += gathered_k (C, T) . g_tile (Co, T)^T — contraction on
+        # the shared T lanes; accumulate across the sequential grid
+        gt = gtile[...]
+        for j in range(m):
+            k = g * m + j
+            contrib = jax.lax.dot_general(
+                gall[:, j * t_out:(j + 1) * t_out].astype(dt), gt,
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec)  # (C, Co)
+            sl = slice(k * c, (k + 1) * c)
+
+            @pl.when((b == 0) & (t == 0))
+            def _init():
+                out_ref[sl, :] = contrib
+
+            @pl.when((b > 0) | (t > 0))
+            def _acc():
+                out_ref[sl, :] += contrib
+
+
+def rulebook_conv_dw_pallas(features, rulebook, grad, kernel_z=3,
+                            t_out=256, blk=128, n_wg=4, interpret=False):
+    """dW of `rulebook_conv_pallas*`: dW[k] = sum_{b,o} f[rb[o,k]] g[o]^T.
+
+    Reuses the v3 z-grouped windowed gather (same monotone-rulebook
+    contract), contracting each offset's gathered tile against the output
+    tile's gradient on the MXU and accumulating across the sequential
+    grid. Misses contribute zero (their one-hot column is empty).
+
+    features: (B, V_in, C); rulebook: (B, V_out, K); grad: (B, V_out, Co)
+    (pre-masked by the caller). Returns (K, C, Co) float32.
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    bsz, v_in, c = features.shape
+    _, v_out, n_k = rulebook.shape
+    c_out = grad.shape[-1]
+    if n_k % kernel_z:
+        kernel_z = 1
+    m = n_k // kernel_z
+    n_blocks = -(-v_in // blk) + n_wg - 1
+    v_pad = n_blocks * blk
+
+    ft = jnp.swapaxes(features, 1, 2)  # (B, C, V_in)
+    ft = jnp.pad(ft, ((0, 0), (0, 0), (0, v_pad - v_in)))
+    rt, qg, eb = _prep_group(rulebook, v_in, t_out, blk, n_blocks, n_wg,
+                             kernel_z)
+    nt = rt.shape[-1] // t_out
+    rt4 = jnp.swapaxes(rt.reshape(bsz, n_k, nt, t_out), 1, 2)
+    gt = jnp.swapaxes(grad, 1, 2).astype(ft.dtype)  # (B, Co, V_out)
+    gt = jnp.pad(gt, ((0, 0), (0, 0), (0, nt * t_out - v_out)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(bsz, nt),
+        in_specs=[
+            pl.BlockSpec((1, 1, n_k, t_out), lambda b, t, q, e: (b, t, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((n_k * c, c_out), lambda b, t, q, e: (0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, c, n_wg * blk), ft.dtype),
+            pltpu.VMEM((n_wg * blk, m * t_out), ft.dtype),
+            pltpu.VMEM((c_out, t_out), ft.dtype),
+            pltpu.VMEM((c, blk), ft.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_dw_kernel, blk=blk, t_out=t_out, n_k=n_k,
+                          n_wg=n_wg, n_groups=kernel_z, c=c, c_out=c_out),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_k * c, c_out), jnp.float32),
+        interpret=interpret,
+    )(qg, eb, rt4, gt, ft)
+    return out.reshape(n_k, c, c_out)
+
+
 def rulebook_conv_pallas(features, rulebook, weights, t_out=T_OUT, blk=BLK,
                          n_win=N_WIN, interpret=False):
     """out[b, o] = sum_k W[k]^T . features[b, rulebook[b, o, k]].

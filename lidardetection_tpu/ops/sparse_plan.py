@@ -95,11 +95,39 @@ class SparsePlan(NamedTuple):
 _TYPE_CODE = {'subm': 0, 'down': 1, 'inv': 2, 'rewind': 3}
 
 
-def backbone_plan(model_cfg, grid_size, cap_in):
+def _with_bwd_rulebooks(ops):
+    """Insert, after each down op, an 'inv' op emitting its transposed
+    rulebook (batch key rb_<name>_bwd over the down op's INPUT table) and
+    a rewind back to the down output — the gradient of a strided conv is
+    an inverse conv over the same geometry, so the training backward can
+    run the forward Pallas kernel instead of an XLA scatter."""
+    new_ops = []
+    old2new = {}
+    inserted = set()
+    for i, op in enumerate(ops):
+        old2new[i] = len(new_ops)
+        new_ops.append(op)
+        if op.type == 'down':
+            di = len(new_ops) - 1
+            inserted.add(len(new_ops))
+            new_ops.append(PlanOp(op.name + '_bwd', 'inv', match=di))
+            inserted.add(len(new_ops))
+            new_ops.append(PlanOp(op.name + '_rw', 'rewind', match=di))
+    out = []
+    for j, op in enumerate(new_ops):
+        if j not in inserted and op.type in ('inv', 'rewind'):
+            op = op._replace(match=old2new[op.match])
+        out.append(op)
+    return out
+
+
+def backbone_plan(model_cfg, grid_size, cap_in, training=False):
     """Plan for a MODEL cfg's BACKBONE_3D, or None if it has none / is dense.
 
     grid_size: (nx, ny, nz); cap_in: the voxel table capacity (the
     transform_points_to_voxels MAX_NUMBER_OF_VOXELS for this split).
+    training=True additionally emits each down op's transposed rulebook
+    (rb_<name>_bwd) for the kernel-accelerated conv backward.
     """
     bb = model_cfg.get('BACKBONE_3D', None)
     if bb is None:
@@ -139,6 +167,8 @@ def backbone_plan(model_cfg, grid_size, cap_in):
         else:
             ops.append(PlanOp('out', 'down', (3, 1, 1), (2, 1, 1), (0, 0, 0),
                               stage_cap(3)))
+        if training:
+            ops = _with_bwd_rulebooks(ops)
         return SparsePlan(tuple(ops), spatial_shape, int(cap_in))
     return None
 

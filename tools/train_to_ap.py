@@ -64,12 +64,21 @@ def main():
     if 'DATA_AUGMENTOR' in cfg.DATA_CONFIG:
         del cfg.DATA_CONFIG.DATA_AUGMENTOR  # overfit the raw scenes
     if args.half_res:
+        pc = cfg.DATA_CONFIG.POINT_CLOUD_RANGE
         for p in cfg.DATA_CONFIG.DATA_PROCESSOR:
             if p.NAME == 'transform_points_to_voxels':
                 vs = p.VOXEL_SIZE
                 z = vs[2]
                 p.VOXEL_SIZE = [vs[0] * 2, vs[1] * 2, z]
-                p.MAX_NUMBER_OF_VOXELS = {'train': 8000, 'test': 8000}
+                # true-3D-voxel models (SECOND/PV-RCNN, z-voxel << range)
+                # occupy ~1 voxel per point: a pillar-sized 8k cap
+                # SATURATES, and test-mode truncation keeps first-come
+                # points — a spatially biased crop that zeroed the far
+                # field and the whole AP (z can't be halved: the backbone
+                # depth chain 41->21->11->5->2 feeds a 128*2 BEV reshape)
+                three_d = float(vs[2]) < (float(pc[5]) - float(pc[2]))
+                cap = 24000 if three_d else 8000
+                p.MAX_NUMBER_OF_VOXELS = {'train': cap, 'test': cap}
 
     out = Path(args.output_dir)
     ckpt_dir = out / 'ckpt'

@@ -534,13 +534,20 @@ def _blocked_greedy_nms_batched(boxes, scores, valid, thresh, post_maxsize,
 
 
 def nms_bev_batched(boxes, scores, thresh, pre_maxsize, post_maxsize,
-                    valid_mask=None, block=32, assume_sorted=False):
+                    valid_mask=None, block=32, assume_sorted=False,
+                    adaptive_tier=512):
     """Batched rotated-BEV greedy NMS.
 
     Args: boxes (B, N, 7); scores (B, N); valid_mask (B, N) optional.
         assume_sorted: scores already descend along N (with invalid rows at
             the tail) — e.g. straight out of a top-k — so the pre-NMS sort
             is skipped (saves a (B, N) sort when pre_maxsize == N).
+        adaptive_tier: when the LIVE candidate count fits in this many rows
+            (common: score-thresh kills most of NMS_PRE_MAXSIZE), run the
+            greedy loop on the sorted prefix of that width under a
+            lax.cond — the per-iteration (block x N') IoU sweep shrinks
+            pre/tier-fold with EXACT semantics (live rows sort to a
+            prefix). 0 disables.
     Returns: (indices (B, post) into the input N axis, keep_mask (B, post),
     num_kept (B,)). Per-sample semantics identical to `nms_bev`.
     """
@@ -560,8 +567,19 @@ def nms_bev_batched(boxes, scores, thresh, pre_maxsize, post_maxsize,
         top_boxes = jnp.take_along_axis(boxes, order[..., None], axis=1)
     top_valid = top_scores > neg_inf
 
-    kept_local, num_kept = _blocked_greedy_nms_batched(
-        top_boxes, top_scores, top_valid, thresh, post_maxsize, block=block)
+    def _run(k2):
+        kept, num = _blocked_greedy_nms_batched(
+            top_boxes[:, :k2], top_scores[:, :k2], top_valid[:, :k2],
+            thresh, post_maxsize, block=block)
+        return kept, num
+
+    if adaptive_tier and k > adaptive_tier:
+        live_max = top_valid.sum(axis=1).max()
+        kept_local, num_kept = jax.lax.cond(
+            live_max <= adaptive_tier,
+            lambda: _run(adaptive_tier), lambda: _run(k))
+    else:
+        kept_local, num_kept = _run(k)
     keep_mask = jnp.arange(post_maxsize)[None, :] < num_kept[:, None]
     out = jnp.where(keep_mask,
                     jnp.take_along_axis(order, kept_local, axis=1).astype(jnp.int32),

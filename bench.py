@@ -17,6 +17,7 @@ import argparse
 import functools
 import json
 import signal
+import sys
 import time
 
 import numpy as np
@@ -238,7 +239,21 @@ def main():
                          'instead of eating the whole bench run')
     ap.add_argument('--tiny', action='store_true',
                     help='shrunken capacities (CPU plumbing check only)')
+    ap.add_argument('--verify', action='store_true',
+                    help='first run tools/verify_tpu.py (on-chip numerical '
+                         'verification of every Pallas kernel) and include '
+                         'its verdict as a JSON line')
     args = ap.parse_args()
+    if args.verify:
+        import subprocess
+        r = subprocess.run([sys.executable, 'tools/verify_tpu.py'],
+                           capture_output=True, text=True, timeout=1800)
+        ok = r.returncode == 0
+        print(json.dumps({'metric': 'pallas_kernels_verified',
+                          'value': 1 if ok else 0, 'unit': 'bool',
+                          'detail': r.stdout.strip().splitlines()[-1]
+                          if r.stdout.strip() else r.stderr[-200:]}),
+              flush=True)
     import jax
     if args.tiny:
         global TINY

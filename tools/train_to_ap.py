@@ -37,6 +37,10 @@ def main():
                     help='0.32 m pillars (248x216 canvas) for speed')
     ap.add_argument('--full_res', dest='half_res', action='store_false')
     ap.add_argument('--min_ap', type=float, default=95.0)
+    ap.add_argument('--lr', type=float, default=None,
+                    help='override OPTIMIZATION.LR (pv_rcnn ships the '
+                         'reference 0.01 full-data peak, which diverges '
+                         'to NaN on the 48-scene overfit set)')
     ap.add_argument('--output_dir', default='output/train_to_ap')
     args = ap.parse_args()
 
@@ -60,6 +64,8 @@ def main():
 
     set_random_seed(42)
     cfg = cfg_from_yaml_file(args.cfg_file)
+    if args.lr is not None:
+        cfg.OPTIMIZATION.LR = args.lr
     cfg.DATA_CONFIG.DATASET = 'SyntheticDataset'
     if 'DATA_AUGMENTOR' in cfg.DATA_CONFIG:
         del cfg.DATA_CONFIG.DATA_AUGMENTOR  # overfit the raw scenes

@@ -19,12 +19,13 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 VARIANTS = [
-    # (name, MODEL-cfg overrides)
+    # (name, MODEL-cfg overrides) — brute-force ball-query variants last:
+    # the M x N scan is memory-hungry and must not take the rest down
     ('shipping', {}),
     ('exact_fps', {'FPS_SECTORS': 1}),
+    ('wide_roi_candidates', {'__ROI_CANDIDATE_CAP__': 256}),
     ('exact_ball_query', {'BALL_QUERY_GRID_CELL_CAP': 0,
                           'BALL_QUERY_APPROX_RECALL': None}),
-    ('wide_roi_candidates', {'__ROI_CANDIDATE_CAP__': 256}),
     ('all_exact', {'FPS_SECTORS': 1, 'BALL_QUERY_GRID_CELL_CAP': 0,
                    'BALL_QUERY_APPROX_RECALL': None,
                    '__ROI_CANDIDATE_CAP__': 256}),
@@ -90,9 +91,8 @@ def main():
 
     rows = {}
     todo = args.variants.split(',')
-    for name, overrides in VARIANTS:
-        if name not in todo:
-            continue
+
+    def run_variant(name, overrides):
         set_random_seed(42)
         cfg = make_cfg(overrides)
         dataset, loader = build_dataloader(
@@ -120,9 +120,18 @@ def main():
         result, _ = eval_one_epoch(
             model, ev, test_loader, cfg.MODEL.POST_PROCESSING,
             cfg.CLASS_NAMES, logger, result_dir=str(out / f'eval_{name}'))
-        rows[name] = {k: round(float(result[k]), 2) for k in sorted(result)
-                      if 'moderate_R40' in k and '_3d/' in k}
+        return {k: round(float(result[k]), 2) for k in sorted(result)
+                if 'moderate_R40' in k and '_3d/' in k}
+
+    for name, overrides in VARIANTS:
+        if name not in todo:
+            continue
+        try:
+            rows[name] = run_variant(name, overrides)
+        except Exception as e:  # keep other variants' verdicts flowing
+            rows[name] = {'error': f'{type(e).__name__}: {e}'[:160]}
         logger.info('%s: %s', name, rows[name])
+        print(json.dumps({name: rows[name]}), flush=True)
 
     print(json.dumps({'metric': 'approximation_ablation', 'rows': rows},
                      indent=1))

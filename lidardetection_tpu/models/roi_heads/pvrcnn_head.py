@@ -95,18 +95,26 @@ class RoIGridPool(nn.Module):
             c0 = c0s[ri]
             sel, empty = p2.candidate_rank_select(
                 cand_xyz, cand_live, grid_pts, radius, nsample)
-            vals = jnp.concatenate(
-                [cand_xyz, cand[..., col:col + c0]], axis=-1)
-            selw = sel.astype(vals.dtype)
-            grp = jnp.einsum('brgsk,brkc->brgsc', selw, vals,
-                             preferred_element_type=jnp.float32)
-            gxyz = grp[..., 0:3] - grid_pts[:, :, :, None, :]
-            gxyz = jnp.where(empty[..., None, None], 0.0, gxyz)
+            # x[slot] = feats[sel] + W_xyz (xyz[sel] - grid)
+            #         = (feats + W_xyz xyz)[sel] - W_xyz grid:
+            # project the K candidates ONCE and subtract the grid term
+            # after the selection einsum — no (B,R,G,ns,3) gathered-xyz
+            # tensor and no per-slot Dense (selection is linear)
+            cxyz_in = cand_xyz
+            gpts_in = grid_pts
             if self.dtype is not None:
-                gxyz = gxyz.astype(self.dtype)
-            x = grp[..., 3:].astype(projs[ri].dtype) + nn.Dense(
-                c0, use_bias=False, dtype=self.dtype,
-                name=f'xyz_proj_{ri}')(gxyz)
+                cxyz_in = cxyz_in.astype(self.dtype)
+                gpts_in = gpts_in.astype(self.dtype)
+            xyz_proj = nn.Dense(c0, use_bias=False, dtype=self.dtype,
+                                name=f'xyz_proj_{ri}')
+            cand_proj = (cand[..., col:col + c0].astype(
+                projs[ri].dtype) + xyz_proj(cxyz_in))
+            selw = sel.astype(cand_proj.dtype)
+            grp = jnp.einsum('brgsk,brkc->brgsc', selw, cand_proj,
+                             preferred_element_type=jnp.float32)
+            x = grp.astype(cand_proj.dtype) \
+                - xyz_proj(gpts_in)[:, :, :, None, :]
+            x = jnp.where(empty[..., None, None], 0.0, x)
             x = x.reshape(b, rr * gg, nsample, c0)
             mask = jnp.broadcast_to(
                 jnp.repeat(roi_valid, gg, axis=1)[:, :, None], x.shape[:3])

@@ -29,9 +29,11 @@ import numpy as np
 
 def _forward_stats(model, params, batch_stats, db, rng):
     """One train-mode forward; returns the updated batch_stats EMA."""
+    # 'proposal' drives the two-stage heads' RoI subsampling (PV-RCNN &
+    # co.); single-stage models ignore the extra stream
     out = model.apply({'params': params, 'batch_stats': batch_stats}, db,
                       training=True, mutable=['batch_stats'],
-                      rngs={'rng': rng})
+                      rngs={'rng': rng, 'proposal': rng})
     return out[1]['batch_stats']
 
 

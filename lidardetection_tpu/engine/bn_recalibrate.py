@@ -33,7 +33,7 @@ def _forward_stats(model, params, batch_stats, db, rng):
     # co.); single-stage models ignore the extra stream
     out = model.apply({'params': params, 'batch_stats': batch_stats}, db,
                       training=True, mutable=['batch_stats'],
-                      rngs={'rng': rng, 'proposal': rng})
+                      rngs={'rng': rng, 'proposal': rng, 'dropout': rng})
     return out[1]['batch_stats']
 
 

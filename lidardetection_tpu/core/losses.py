@@ -80,6 +80,18 @@ def weighted_cross_entropy_loss(logits, one_hot_targets, weights):
     return loss * weights
 
 
+def _safe_norm(x, axis):
+    """||x|| with zero (not NaN) gradient at ||x|| = 0.
+
+    d||x||/dx = x/||x|| is NaN at exactly zero — which an overfit run
+    CONVERGES INTO (predicted corners land on gt corners; observed as a
+    late-training NaN blowup in the PV-RCNN train-to-AP harness). The
+    max() gate routes the gradient to the constant branch below eps.
+    """
+    sq = jnp.sum(x * x, axis=axis)
+    return jnp.sqrt(jnp.maximum(sq, 1e-12))
+
+
 def corner_loss_lidar(pred_boxes, gt_boxes):
     """Flip-invariant 8-corner smooth-L1 loss, (N,) (loss_utils.py:209-232)."""
     pred_corners = boxes_to_corners_3d(pred_boxes)
@@ -87,7 +99,7 @@ def corner_loss_lidar(pred_boxes, gt_boxes):
     gt_flip = gt_boxes.at[:, 6].add(jnp.pi)
     gt_corners_flip = boxes_to_corners_3d(gt_flip)
     dist = jnp.minimum(
-        jnp.linalg.norm(pred_corners - gt_corners, axis=2),
-        jnp.linalg.norm(pred_corners - gt_corners_flip, axis=2),
+        _safe_norm(pred_corners - gt_corners, 2),
+        _safe_norm(pred_corners - gt_corners_flip, 2),
     )  # (N, 8)
     return smooth_l1(dist, beta=1.0).mean(axis=1)

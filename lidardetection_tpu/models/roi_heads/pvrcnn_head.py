@@ -67,7 +67,10 @@ class RoIGridPool(nn.Module):
         rois (B, R, 7); roi_valid (B, R); grid_pts (B, R, G, 3).
         Returns pooled (B, R, G, sum C_out)."""
         b, rr, gg = grid_pts.shape[:3]
-        r_cand = (0.5 * jnp.linalg.norm(rois[..., 3:6], axis=-1)
+        # eps-guarded norm: padded rois have zero sizes and d||x||/dx is
+        # NaN at 0 (core/losses._safe_norm rationale)
+        r_cand = (0.5 * jnp.sqrt(jnp.maximum(
+            jnp.sum(rois[..., 3:6] ** 2, axis=-1), 1e-12))
                   + float(max(self.radii)))
         r_cand = jnp.where(roi_valid, r_cand, 0.0)
         cand_idx, cand_live = p2.roi_candidates(

@@ -106,3 +106,20 @@ def test_corner_loss_flip_invariant():
     flipped = boxes.at[:, 6].add(jnp.pi)
     out = np.asarray(losses.corner_loss_lidar(boxes, flipped))
     np.testing.assert_allclose(out, [0.0], atol=1e-5)
+
+
+def test_corner_loss_grad_finite_at_zero_distance():
+    """d||x||/dx is NaN at 0; the eps-guarded corner loss must not be —
+    an overfit run CONVERGES into pred corners == gt corners (observed as
+    a late-training NaN blowup in the PV-RCNN train-to-AP harness)."""
+    import jax
+    import jax.numpy as jnp
+    from lidardetection_tpu.core import losses
+
+    gt = jnp.asarray([[10.0, 5.0, -1.0, 4.0, 1.8, 1.6, 0.3]])
+
+    def f(boxes):
+        return losses.corner_loss_lidar(boxes, gt).sum()
+
+    g = jax.grad(f)(gt)  # pred == gt exactly
+    assert bool(jnp.all(jnp.isfinite(g))), g

@@ -105,7 +105,9 @@ def bench_eval(model_name, batch_size=8):
 
     cfg, model, variables, db = _load(model_name, batch_size, training=False)
     params, stats = variables['params'], variables['batch_stats']
-    _ = float(jnp.sum(db['voxels']))  # force upload completion (axon relay)
+    has_voxels = 'voxels' in db  # point-based pipelines (PointRCNN) have none
+    probe = db['voxels'] if has_voxels else db['points']
+    _ = float(jnp.sum(probe))  # force upload completion (axon relay)
     post_cfg = cfg.MODEL.POST_PROCESSING
     num_class = len(cfg.CLASS_NAMES)
 
@@ -128,8 +130,10 @@ def bench_eval(model_name, batch_size=8):
         # precomputable on the input pipeline in the real eval path.
         def body(_, state):
             vox, pts, carry = state
-            vox = vox.at[0, 0, 0, 3].add(carry * 1e-12)
-            d = {**db, 'voxels': vox}
+            d = dict(db)
+            if has_voxels:
+                vox = vox.at[0, 0, 0, 3].add(carry * 1e-12)
+                d['voxels'] = vox
             if has_points:
                 pts = pts.at[0, 0, 0].add(carry * 1e-12)
                 d['points'] = pts
@@ -138,9 +142,11 @@ def bench_eval(model_name, batch_size=8):
             preds = post_processing(out, post_cfg, num_class)
             return vox, pts, preds['pred_scores'].reshape(-1)[0]
 
+        vox0 = db['voxels'] if has_voxels \
+            else jnp.zeros((1, 1, 1, 1), jnp.float32)
         pts0 = db['points'] if has_points else jnp.zeros((1, 1, 1), jnp.float32)
         _, _, out = jax.lax.fori_loop(
-            0, n, body, (db['voxels'], pts0, jnp.float32(0.0)))
+            0, n, body, (vox0, pts0, jnp.float32(0.0)))
         return out
 
     dt = _slope_time(functools.partial(chain, db))
@@ -167,7 +173,7 @@ def bench_train(model_name='pointpillar', batch_size=8):
     from lidardetection_tpu.utils.optimization import build_optimizer
 
     cfg, model, variables, db = _load(model_name, batch_size, training=True)
-    _ = float(jnp.sum(db['voxels']))
+    _ = float(jnp.sum(db['voxels'] if 'voxels' in db else db['points']))
     tx, _sched = build_optimizer(cfg.OPTIMIZATION, 100, 2)
     state = TrainState.create(params=variables['params'],
                               batch_stats=variables['batch_stats'], tx=tx)

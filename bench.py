@@ -83,12 +83,31 @@ def _load(model_name, batch_size, training):
     return cfg, model, variables, db
 
 
+MAX_EXEC_S = 40.0  # the axon relay KILLS the TPU worker if one program
+# execution exceeds 60 s (measured 2026-08-20: 59.8 s OK, crash at 60.0 s
+# into a 75 s matmul loop). This — not a kernel fault — was the round-3
+# "data-dependent PointRCNN crash": slow models * chain(80) > 60 s.
+
+
 def _slope_time(chain, n1=20, n2=80):
-    """Seconds per iteration via two chained runs (cancels dispatch cost)."""
+    """Seconds per iteration via two chained runs (cancels dispatch cost).
+
+    Iteration counts adapt downward so no single execution approaches the
+    relay's 60 s program watchdog (MAX_EXEC_S budget).
+    """
+    t0 = time.perf_counter()
     _ = float(chain(2))  # warmup / compile
+    tw = time.perf_counter() - t0  # includes compile: upper bound only
+
+    per = tw / 2
+    if per * n1 > MAX_EXEC_S:  # very slow model: shrink the short run too
+        n1 = max(2, int(MAX_EXEC_S / per))
     t0 = time.perf_counter()
     _ = float(chain(n1))
     t1 = time.perf_counter() - t0
+
+    per = t1 / n1  # true per-iter (dispatch amortized enough at n1 >= 2)
+    n2 = min(n2, max(n1 + 2, int(MAX_EXEC_S / per)))
     t0 = time.perf_counter()
     _ = float(chain(n2))
     t2 = time.perf_counter() - t0
@@ -230,6 +249,50 @@ class _MetricTimeout(Exception):
     pass
 
 
+def _error_line(name, detail):
+    return {'metric': f"{name.replace(':', '_')}_scans_per_sec_per_chip",
+            'value': 0, 'unit': 'scans/s', 'vs_baseline': 0.0,
+            'error': detail[:200]}
+
+
+def _run_one(name, batch_size, metric_timeout):
+    """Run a single metric in THIS process and print its JSON line.
+
+    A kernel fault that kills the TPU worker leaves the whole JAX client
+    unusable (round 3: one PointRCNN fault zeroed four metrics), so the
+    normal path is one child process per metric (`main`); this is the
+    child's entry. Exceptions still print an error line so the parent can
+    forward something even if it loses the child's exit status.
+    """
+    import jax
+    if TINY:
+        jax.config.update('jax_platforms', 'cpu')
+    # persistent compile cache: per-metric children (and the driver's
+    # end-of-round rerun) skip XLA recompiles
+    jax.config.update('jax_compilation_cache_dir', '/tmp/ldtpu_bench_cache')
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+
+    from lidardetection_tpu.utils.common import set_random_seed
+    set_random_seed(42)
+
+    def on_alarm(signum, frame):
+        raise _MetricTimeout(f'exceeded {metric_timeout}s')
+
+    signal.signal(signal.SIGALRM, on_alarm)
+    signal.alarm(metric_timeout)
+    try:
+        if name == 'train' or name.startswith('train:'):
+            tm = name.split(':', 1)[1] if ':' in name else 'pointpillar'
+            res = bench_train(tm, batch_size=batch_size)
+        else:
+            res = bench_eval(name, batch_size=batch_size)
+    except Exception as e:
+        res = _error_line(name, f'{type(e).__name__}: {e}')
+    finally:
+        signal.alarm(0)
+    print(json.dumps(res), flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--models',
@@ -249,51 +312,68 @@ def main():
                     help='first run tools/verify_tpu.py (on-chip numerical '
                          'verification of every Pallas kernel) and include '
                          'its verdict as a JSON line')
+    ap.add_argument('--one', default=None, help=argparse.SUPPRESS)
+    ap.add_argument('--inproc', action='store_true',
+                    help='run all metrics in this process (no crash '
+                         'isolation; debugging only)')
     args = ap.parse_args()
-    if args.verify:
-        import subprocess
-        r = subprocess.run([sys.executable, 'tools/verify_tpu.py'],
-                           capture_output=True, text=True, timeout=1800)
-        ok = r.returncode == 0
-        print(json.dumps({'metric': 'pallas_kernels_verified',
-                          'value': 1 if ok else 0, 'unit': 'bool',
-                          'detail': r.stdout.strip().splitlines()[-1]
-                          if r.stdout.strip() else r.stderr[-200:]}),
-              flush=True)
-    import jax
     if args.tiny:
         global TINY
         TINY = True
-        jax.config.update('jax_platforms', 'cpu')
-    # persistent compile cache: reruns (and the driver's end-of-round run
-    # after this session already compiled the same programs) skip XLA
-    jax.config.update('jax_compilation_cache_dir', '/tmp/ldtpu_bench_cache')
-    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 
-    from lidardetection_tpu.utils.common import set_random_seed
-    set_random_seed(42)
+    if args.one is not None:
+        _run_one(args.one, args.batch_size, args.metric_timeout)
+        return
 
-    def on_alarm(signum, frame):
-        raise _MetricTimeout(f'exceeded {args.metric_timeout}s')
-
-    signal.signal(signal.SIGALRM, on_alarm)
-    for name in args.models.split(','):
-        name = name.strip()
-        signal.alarm(args.metric_timeout)
+    import subprocess
+    if args.verify:
         try:
-            if name == 'train' or name.startswith('train:'):
-                tm = name.split(':', 1)[1] if ':' in name else 'pointpillar'
-                res = bench_train(tm, batch_size=args.batch_size)
+            r = subprocess.run([sys.executable, 'tools/verify_tpu.py'],
+                               capture_output=True, text=True, timeout=1800)
+            ok = r.returncode == 0
+            detail = (r.stdout.strip().splitlines()[-1]
+                      if r.stdout.strip() else r.stderr[-200:])
+        except (subprocess.TimeoutExpired, OSError) as e:
+            ok, detail = False, f'{type(e).__name__}: {e}'
+        print(json.dumps({'metric': 'pallas_kernels_verified',
+                          'value': 1 if ok else 0, 'unit': 'bool',
+                          'detail': str(detail)[:200]}), flush=True)
+
+    names = [n.strip() for n in args.models.split(',') if n.strip()]
+    if args.inproc:
+        for name in names:
+            _run_one(name, args.batch_size, args.metric_timeout)
+        return
+
+    # one child process per metric: a TPU-worker crash (kernel fault) or a
+    # hang costs that metric only; every other line still flows
+    for name in names:
+        cmd = [sys.executable, __file__, '--one', name,
+               '--batch_size', str(args.batch_size),
+               '--metric_timeout', str(args.metric_timeout)]
+        if args.tiny:
+            cmd.append('--tiny')
+        try:
+            r = subprocess.run(cmd, capture_output=True, text=True,
+                               timeout=args.metric_timeout + 120)
+            line = None
+            for ln in reversed((r.stdout or '').strip().splitlines()):
+                if ln.startswith('{'):
+                    line = ln
+                    break
+            if line is not None:
+                print(line, flush=True)
             else:
-                res = bench_eval(name, batch_size=args.batch_size)
-        except Exception as e:  # keep the primary line flowing
-            res = {'metric': f"{name.replace(':', '_')}_scans_per_sec_per_chip",
-                   'value': 0,
-                   'unit': 'scans/s', 'vs_baseline': 0.0,
-                   'error': f'{type(e).__name__}: {e}'[:200]}
-        finally:
-            signal.alarm(0)
-        print(json.dumps(res), flush=True)
+                tail = (r.stderr or '').strip().splitlines()[-1:] or ['']
+                print(json.dumps(_error_line(
+                    name, f'child rc={r.returncode}: {tail[0]}')), flush=True)
+        except subprocess.TimeoutExpired:
+            print(json.dumps(_error_line(
+                name, f'child timeout after {args.metric_timeout + 120}s')),
+                flush=True)
+        except OSError as e:
+            print(json.dumps(_error_line(name, f'spawn failed: {e}')),
+                  flush=True)
 
 
 if __name__ == '__main__':

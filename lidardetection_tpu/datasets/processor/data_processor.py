@@ -62,6 +62,17 @@ class DataProcessor:
         voxels, coords, npts, nv = voxelize_np(
             data_dict['points'], self.point_cloud_range, self.voxel_size,
             self.max_points_per_voxel, self.max_voxels)
+        if nv >= self.max_voxels and not self.training:
+            # Saturated cap at eval: truncation keeps the FIRST max_voxels
+            # voxels in scan order — a spatially biased crop (eval does not
+            # shuffle points) that silently zeroes AP on whole regions
+            # (diagnosed in TRAIN_TO_AP.md). Warn loudly; fix the config.
+            import warnings
+            warnings.warn(
+                f'MAX_NUMBER_OF_VOXELS[test]={self.max_voxels} saturated '
+                f'(scene produced >= cap); eval truncation is spatially '
+                f'biased and can zero AP — raise the cap', RuntimeWarning,
+                stacklevel=2)
         data_dict['voxels'] = voxels
         data_dict['voxel_coords'] = coords
         data_dict['voxel_num_points'] = npts

@@ -103,8 +103,15 @@ class PointnetSAModuleMSG(nn.Module):
                      for ri, c0 in enumerate(c0s)]
             # bf16 projections ride as bit-cast f32 pairs so xyz keeps f32
             # precision and the row stays one dtype (halves gather bytes
-            # vs upcasting the features)
-            bf16 = self.dtype == jnp.bfloat16
+            # vs upcasting the features). EVAL ONLY: bitcast_convert_type
+            # has a zero JVP/VJP in JAX, so the pack/unpack pair silently
+            # kills gradients to pre_proj and everything upstream; a
+            # custom_vjp inverse-bitcast would also be wrong because the
+            # gather transpose scatter-ADDS cotangents in the packed f32
+            # domain (bit-pair addition != pairwise bf16 addition). When
+            # training, pack as f32 instead — row gathers bill per index,
+            # not per byte, so only HBM bytes double.
+            bf16 = self.dtype == jnp.bfloat16 and not training
             if bf16:
                 def as_f32bits(p):
                     bn, nn_, c0 = p.shape

@@ -33,9 +33,14 @@ jumps across z-slabs make this rare but real) take a dynamic fori_loop of
 manual HBM->VMEM DMAs covering the tail blocks, so the kernel is exact
 for every rulebook, with zero host fallback.
 
-Gradient: forward pallas, backward = jax.vjp of the XLA reference
-implementation (correct everywhere; sparse training on TPU is not yet
-kernel-accelerated).
+Gradient: kernel-accelerated on both legs. dW runs
+`rulebook_conv_dw_pallas` (same windowed one-hot structure contracted
+over output tiles); df re-runs the forward kernel over the TRANSPOSED
+rulebook (gather and scatter are adjoint, so scatter-add of cotangents
+equals a gather over the inverse map — ops/sparse.py builds the paired
+inverse rulebooks host-side). The custom_vjp wiring lives in
+ops/sparse.py (search `custom_vjp`); XLA vjp remains the df fallback
+when no transposed rulebook is available.
 """
 
 import functools

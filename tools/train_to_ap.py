@@ -38,9 +38,11 @@ def main():
     ap.add_argument('--full_res', dest='half_res', action='store_false')
     ap.add_argument('--min_ap', type=float, default=95.0)
     ap.add_argument('--lr', type=float, default=None,
-                    help='override OPTIMIZATION.LR (pv_rcnn ships the '
-                         'reference 0.01 full-data peak, which diverges '
-                         'to NaN on the 48-scene overfit set)')
+                    help='override OPTIMIZATION.LR. PV-RCNN NOTE: the '
+                         'shipping reference LR 0.01 NaNs this 48-scene '
+                         'overfit harness at the OneCycle peak — pass '
+                         '--lr 0.003 for pv_rcnn (full-data training '
+                         'keeps 0.01)')
     ap.add_argument('--output_dir', default='output/train_to_ap')
     args = ap.parse_args()
 

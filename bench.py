@@ -51,7 +51,12 @@ def _load(model_name, batch_size, training):
     stem = CFG_FILE.get(model_name, model_name)
     cfg = cfg_from_yaml_file(f'tools/cfgs/kitti_models/{stem}.yaml')
     cfg.DATA_CONFIG.DATASET = 'SyntheticDataset'
-    cfg.DATA_CONFIG.MAX_POINTS = 32768
+    # point-based configs (PointRCNN) declare a tight MAX_POINTS and
+    # subsample to exactly that — padding them to 32768 ran the whole
+    # PointNet2 backbone at 50% padding rows. Voxel models inherit the
+    # base 131072 raw cap; keep the bench's 32768 synthetic-scene cap.
+    cfg.DATA_CONFIG.MAX_POINTS = min(
+        32768, int(cfg.DATA_CONFIG.get('MAX_POINTS', 32768)))
     if 'DATA_AUGMENTOR' in cfg.DATA_CONFIG:
         del cfg.DATA_CONFIG.DATA_AUGMENTOR
     if TINY:

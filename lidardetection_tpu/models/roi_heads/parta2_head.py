@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 
 from ...core.box_coders import build_box_coder
-from ...ops.roi_pool import roiaware_pool3d
+from ...ops.roi_pool import roi_point_sample, roiaware_pool3d
 from ..layers import MaskedBatchNorm
 from . import roi_head_utils
 from .pointrcnn_head import FCHead
@@ -90,12 +90,19 @@ class PartA2FCHead(nn.Module):
         num = batch.get('point_valid',
                         jnp.ones(coords.shape[:2], bool)).sum(1).astype(jnp.int32)
 
+        # one in-box sampling pass shared by both pools (same rois/points);
+        # see ops/roi_pool.roiaware_pool3d for the gather-then-scatter shape
+        sample = roi_point_sample(coords, num, rois[..., :7],
+                                  out['roi_valid'],
+                                  cap=int(cfg.get('ROI_POINT_CAP', 1024)))
         pooled_part = roiaware_pool3d(
             coords, part_features, num, rois[..., :7], out['roi_valid'],
-            out_size=(ps, ps, ps), pool_method='avg')  # (B, R, X, Y, Z, 4)
+            out_size=(ps, ps, ps), pool_method='avg',
+            sample=sample)  # (B, R, X, Y, Z, 4)
         pooled_rpn = roiaware_pool3d(
             coords, batch['point_features'], num, rois[..., :7],
-            out['roi_valid'], out_size=(ps, ps, ps), pool_method='max')
+            out['roi_valid'], out_size=(ps, ps, ps), pool_method='max',
+            sample=sample)
 
         pooled_part = pooled_part.reshape(b * r, ps, ps, ps, -1)
         pooled_rpn = pooled_rpn.reshape(b * r, ps, ps, ps, -1)

@@ -747,10 +747,26 @@ def three_nn(query, query_valid, src, src_num):
     """
 
     def one(q, s, n):
-        valid = jnp.arange(s.shape[0]) < n
+        nn_ = s.shape[0]
+        valid = jnp.arange(nn_) < n
         d2 = jnp.where(valid[None, :], _pairwise_d2(q, s), _BIG)
-        neg, idx = jax.lax.top_k(-d2, 3)
-        return jnp.sqrt(jnp.maximum(-neg, 0.0)), idx.astype(jnp.int32)
+        # exact 3-NN via three unrolled min-extract passes. top_k lowers
+        # to a full bitonic sort of every row (~log^2(N) passes); three
+        # masked argmin sweeps are ~50x less vector work at FP1 shapes
+        # (16384 x 4096) and XLA fuses the equality mask into the next
+        # reduce, so d2 is only re-read, never rewritten. Ties resolve to
+        # the lowest index in both formulations (argmin-first semantics,
+        # matching the CUDA three_nn scan, interpolate_gpu.cu:16-52).
+        lanes = jnp.arange(nn_, dtype=jnp.int32)[None, :]
+        dists, idxs = [], []
+        for _ in range(3):
+            i = jnp.argmin(d2, axis=1).astype(jnp.int32)
+            dd = jnp.take_along_axis(d2, i[:, None], axis=1)[:, 0]
+            dists.append(dd)
+            idxs.append(i)
+            d2 = jnp.where(lanes == i[:, None], _BIG, d2)
+        d = jnp.stack(dists, axis=1)
+        return jnp.sqrt(jnp.maximum(d, 0.0)), jnp.stack(idxs, axis=1)
 
     return jax.vmap(one)(query, src, src_num)
 

@@ -70,38 +70,63 @@ def verify_rulebook_conv():
     check('rulebook_conv dW (C32, V8k)', dw, dw_ref, atol=2.0, rtol=0.05)
 
 
-def verify_ball_select():
+def verify_ball_select(shape='vsa'):
     import jax.numpy as jnp
 
     from lidardetection_tpu.ops import pointnet2 as p2
 
     rng = np.random.default_rng(1)
-    B, N, M = 4, 16384, 1024
     bounds = (0.0, -39.68, -3.0, 69.12, 39.68, 1.0)
+    if shape == 'vsa':
+        B, N, M = 4, 16384, 1024
+        radii, ns = (0.8, 1.2), (16, 32)
 
-    def mkpts(n):
-        return jnp.asarray(np.stack(
-            [rng.uniform(0, 69, (B, n)), rng.uniform(-39, 39, (B, n)),
-             rng.uniform(-3, 1, (B, n))], -1), jnp.float32)
+        def mkpts(n):
+            return jnp.asarray(np.stack(
+                [rng.uniform(0, 69, (B, n)), rng.uniform(-39, 39, (B, n)),
+                 rng.uniform(-3, 1, (B, n))], -1), jnp.float32)
 
-    src, ctr = mkpts(N), mkpts(M)
+        src, ctr = mkpts(N), mkpts(M)
+    else:
+        # PointRCNN SA1 shape with CLUSTERED sources so many grid cells
+        # overflow cell_cap (the occupancy pattern round 3 suspected):
+        # 64 tight clusters absorb half the points, the rest uniform
+        B, N, M = 8, 16384, 4096
+        radii, ns = (0.1, 0.5), (16, 32)
+        cl = rng.uniform([2, -35, -2.5], [65, 35, 0.5], (B, 64, 3))
+        which = rng.integers(0, 64, (B, N // 2))
+        clustered = (np.take_along_axis(cl, which[..., None], axis=1)
+                     + rng.normal(0, 0.15, (B, N // 2, 3)))
+        uniform = np.stack(
+            [rng.uniform(0, 69, (B, N // 2)),
+             rng.uniform(-39, 39, (B, N // 2)),
+             rng.uniform(-3, 1, (B, N // 2))], -1)
+        src = jnp.asarray(np.concatenate([clustered, uniform], 1),
+                          jnp.float32)
+        ctr_idx = rng.integers(0, N, (B, M))
+        ctr = jnp.asarray(np.take_along_axis(
+            np.asarray(src), ctr_idx[..., None], axis=1), jnp.float32)
     nn = jnp.full((B,), N - 64, jnp.int32)
     kv = jnp.ones((B, M), bool)
-    radii, ns = (0.8, 1.2), (16, 32)
     # TPU path (Pallas select) vs the exact CPU formulation (top_k two-stage)
     got = p2.grid_ball_query_multi(radii, ns, src, nn, ctr, kv,
                                    bounds=bounds, cell_cap=64)
     import jax
     with jax.default_device(jax.local_devices(backend='cpu')[0]):
         pass  # CPU fallback runs automatically off-TPU; emulate via numpy:
-    # exact reference: brute-force first-nsample-by-index per center
+    # reference: brute-force first-nsample-by-index per center. The
+    # clustered shape overflows the 64-point cell cap BY DESIGN (the
+    # documented drop-the-excess approximation), so its check relaxes to
+    # the corruption-catching necessary conditions: every selected index
+    # is a true in-radius hit (an OOB window read would surface garbage
+    # indices/coords here) and no-hit centers are flagged empty.
+    cap_exact = shape == 'vsa'
     sn, cn = np.asarray(src), np.asarray(ctr)
     nv = np.asarray(nn)
     for ri, (r, k) in enumerate(zip(radii, ns)):
         gi, ge = (np.asarray(x) for x in got[ri])
         # sampled spot-check (full brute force is O(B*M*N))
         sel = rng.integers(0, M, 200)
-        worst = 0.0
         bad = 0
         for bi in range(B):
             d2 = ((sn[bi, :nv[bi], None, :]
@@ -113,16 +138,20 @@ def verify_ball_select():
                     if len(hits) else None
                 if len(hits) == 0:
                     bad += 0 if ge[bi, m] else 1
+                elif not cap_exact:
+                    bad += 0 if (ge[bi, m]
+                                 or set(gi[bi, m]).issubset(set(hits))) else 1
                 elif len(hits) >= k:
                     # surplus: require all selected are true hits
                     bad += 0 if set(gi[bi, m]).issubset(set(hits)) else 1
                 else:
                     bad += 0 if gotset == want else 1
+        tag = '' if cap_exact else ' (cap-relaxed)'
         print(f'{"ok  " if bad == 0 else "FAIL"} '
-              f'ball_select r={r} ns={k:<28} mismatched_centers={bad}/800',
-              flush=True)
+              f'ball_select[{shape}] r={r} ns={k}{tag:<14} '
+              f'mismatched_centers={bad}/{B * 200}', flush=True)
         if bad:
-            FAILED.append(f'ball_select r={r}')
+            FAILED.append(f'ball_select {shape} r={r}')
 
 
 def verify_scatter():
@@ -226,7 +255,8 @@ def main():
     if 'conv' in todo:
         verify_rulebook_conv()
     if 'ball' in todo:
-        verify_ball_select()
+        verify_ball_select('vsa')
+        verify_ball_select('prcnn')
     if 'scatter' in todo:
         verify_scatter()
     if 'vfe' in todo:

@@ -51,6 +51,11 @@ def main():
         jax.config.update('jax_platforms', 'cpu')
     import jax
 
+    # persistent compile cache: resumed/extended runs skip the multi-minute
+    # train-step recompile (shared with bench.py's cache)
+    jax.config.update('jax_compilation_cache_dir', '/tmp/ldtpu_bench_cache')
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+
     from lidardetection_tpu.config import cfg_from_yaml_file
     from lidardetection_tpu.datasets import build_dataloader
     from lidardetection_tpu.engine.evaluator import eval_one_epoch

@@ -43,6 +43,10 @@ def main():
                          'overfit harness at the OneCycle peak — pass '
                          '--lr 0.003 for pv_rcnn (full-data training '
                          'keeps 0.01)')
+    ap.add_argument('--compute_dtype', default=None,
+                    help="override MODEL.COMPUTE_DTYPE (e.g. float32) — "
+                         "A/Bs bf16-precision effects on AP; the e2e test "
+                         "suite always runs f32 and cannot see them")
     ap.add_argument('--output_dir', default='output/train_to_ap')
     args = ap.parse_args()
 
@@ -73,6 +77,8 @@ def main():
     cfg = cfg_from_yaml_file(args.cfg_file)
     if args.lr is not None:
         cfg.OPTIMIZATION.LR = args.lr
+    if args.compute_dtype is not None:
+        cfg.MODEL.COMPUTE_DTYPE = args.compute_dtype
     cfg.DATA_CONFIG.DATASET = 'SyntheticDataset'
     if 'DATA_AUGMENTOR' in cfg.DATA_CONFIG:
         del cfg.DATA_CONFIG.DATA_AUGMENTOR  # overfit the raw scenes

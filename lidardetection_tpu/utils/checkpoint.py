@@ -77,10 +77,32 @@ def _merge_matching(template, loaded, path='', logger=None):
 
 
 def restore_checkpoint(path, state, logger=None, strict=False):
-    """Restore into a TrainState template; partial match unless strict."""
+    """Restore into a TrainState template; partial match unless strict.
+
+    The optimizer state is an optax namedtuple pytree, but a template-free
+    orbax restore returns plain nested dicts — `jax.tree.map` across the
+    two treedefs always raises, which silently cold-restarted Adam moments
+    (and re-peaked OneCycle) on EVERY resume until round 4. Restoring
+    against the live TrainState structure keeps the moments; the
+    template-free path remains the fallback for cross-model transfer
+    (shape-tolerant partial merge, detector3d_template.py:321-347).
+    """
+    template = {
+        'step': np.asarray(jax.device_get(state.step)),
+        'params': jax.device_get(state.params),
+        'batch_stats': jax.device_get(state.batch_stats),
+        'opt_state': jax.device_get(state.opt_state),
+        'meta': {'epoch': 0, 'version': ''},
+    }
+    loaded = None
     with ocp.PyTreeCheckpointer() as ckptr:
-        loaded = ckptr.restore(os.path.abspath(path))
-    epoch = int(loaded.get('meta', {}).get('epoch', 0))
+        try:
+            loaded = ckptr.restore(os.path.abspath(path), item=template)
+            opt_restored = True
+        except Exception:
+            loaded = ckptr.restore(os.path.abspath(path))
+            opt_restored = False
+    epoch = int(loaded.get('meta', {}).get('epoch', 0) or 0)
     if strict:
         new_params = loaded['params']
         new_stats = loaded['batch_stats']
@@ -90,14 +112,13 @@ def restore_checkpoint(path, state, logger=None, strict=False):
                                      loaded.get('params', {}), 'params', logger)
         new_stats = _merge_matching(jax.device_get(state.batch_stats),
                                     loaded.get('batch_stats', {}), 'batch_stats', logger)
-        new_opt = jax.device_get(state.opt_state)
-        try:
-            new_opt = jax.tree.map(lambda t, l: l if getattr(t, 'shape', None)
-                                   == getattr(l, 'shape', None) else t,
-                                   new_opt, loaded.get('opt_state', new_opt))
-        except (ValueError, KeyError, TypeError):
+        if opt_restored:
+            new_opt = loaded['opt_state']
+        else:
+            new_opt = jax.device_get(state.opt_state)
             if logger:
-                logger.info('optimizer state not restored (structure mismatch)')
+                logger.info('optimizer state not restored '
+                            '(checkpoint/model structure mismatch)')
     state = state.replace(
         params=new_params, batch_stats=new_stats, opt_state=new_opt,
         step=jax.numpy.asarray(loaded.get('step', 0)))

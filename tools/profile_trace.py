@@ -23,6 +23,9 @@ def main():
     ap.add_argument('--iters', type=int, default=5)
     ap.add_argument('--top', type=int, default=40)
     ap.add_argument('--out', default='/tmp/ldtpu_trace')
+    ap.add_argument('--train', action='store_true',
+                    help='trace the TRAIN step (fwd+bwd+update) instead of '
+                         'the eval step — attributes the MFU gap by op')
     args = ap.parse_args()
 
     import jax
@@ -47,7 +50,7 @@ def main():
 
     dataset, loader = build_dataloader(
         cfg.DATA_CONFIG, cfg.CLASS_NAMES, batch_size=args.batch_size,
-        training=False, num_scenes=args.batch_size, model_cfg=cfg.MODEL)
+        training=args.train, num_scenes=args.batch_size, model_cfg=cfg.MODEL)
     batch = next(iter(loader))
     model = build_network(cfg.MODEL, len(cfg.CLASS_NAMES), cfg.CLASS_NAMES,
                           dataset.dataset_info)
@@ -58,11 +61,25 @@ def main():
     post_cfg = cfg.MODEL.POST_PROCESSING
     num_class = len(cfg.CLASS_NAMES)
 
-    @jax.jit
-    def step(db):
-        out = model.apply({'params': params, 'batch_stats': stats},
-                          db, training=False)
-        return post_processing(out, post_cfg, num_class)
+    if args.train:
+        from lidardetection_tpu.parallel.train_step import (
+            TrainState, make_train_step,
+        )
+        from lidardetection_tpu.utils.optimization import build_optimizer
+        tx, _sched = build_optimizer(cfg.OPTIMIZATION, 100, 2)
+        state = TrainState.create(params=params, batch_stats=stats, tx=tx)
+        tstep = make_train_step(model, donate=False)
+
+        @jax.jit
+        def step(db):
+            st, tb = tstep(state, db)
+            return jax.tree_util.tree_leaves(st.params)[0]
+    else:
+        @jax.jit
+        def step(db):
+            out = model.apply({'params': params, 'batch_stats': stats},
+                              db, training=False)
+            return post_processing(out, post_cfg, num_class)
 
     r = step(db)
     jax.block_until_ready(r)

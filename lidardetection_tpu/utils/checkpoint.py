@@ -49,6 +49,10 @@ def save_checkpoint(state, ckpt_dir, epoch, max_ckpt_save_num=30, logger=None):
 
 def latest_checkpoint(ckpt_dir):
     ckpts = glob.glob(os.path.join(os.path.abspath(ckpt_dir), 'checkpoint_epoch_*'))
+    # a trainer killed mid-save leaves an orbax `*.orbax-checkpoint-tmp*`
+    # dir; resuming from it raises "incomplete checkpoint" — skip them so
+    # resume falls back to the newest COMPLETE epoch
+    ckpts = [c for c in ckpts if 'tmp' not in os.path.basename(c)]
     if not ckpts:
         return None
     return max(ckpts, key=lambda f: int(re.findall(r'checkpoint_epoch_(\d+)', f)[0]))

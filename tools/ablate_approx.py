@@ -22,6 +22,10 @@ VARIANTS = [
     # (name, MODEL-cfg overrides) — brute-force ball-query variants last:
     # the M x N scan is memory-hungry and must not take the rest down
     ('shipping', {}),
+    # eval-time precision A/B: run the same checkpoint's eval in f32.
+    # Separates eval-side bf16 rounding from train-side effects (the
+    # train_to_ap --compute_dtype f32 run covers the latter).
+    ('eval_f32', {'COMPUTE_DTYPE': 'float32'}),
     ('exact_fps', {'FPS_SECTORS': 1}),
     ('wide_roi_candidates', {'__ROI_CANDIDATE_CAP__': 256}),
     ('exact_ball_query', {'BALL_QUERY_GRID_CELL_CAP': 0,

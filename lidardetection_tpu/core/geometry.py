@@ -54,8 +54,15 @@ def rotate_points_along_z(points, angle):
         (B, N, 3 + C)
     Mirrors common_utils.rotate_points_along_z (common_utils.py:66-81).
     """
-    rot = rotation_matrix_z(angle)  # (B, 3, 3)
-    xyz = jnp.einsum('bnj,bjk->bnk', points[..., 0:3], rot)
+    # elementwise rotation, NOT einsum/matmul: a dot lowers to the MXU
+    # whose default operand precision is bf16 on TPU — rotating absolute
+    # coordinates (|x| up to ~70 m) would lose ~0.2-0.3 m, poisoning the
+    # RoI canonical transforms and corner losses that route through here.
+    # The VPU form is exact f32 and avoids an MXU trip for a 2-wide dot.
+    c = jnp.cos(angle)[..., None]
+    s = jnp.sin(angle)[..., None]
+    x, y = points[..., 0], points[..., 1]
+    xyz = jnp.stack([x * c - y * s, x * s + y * c, points[..., 2]], axis=-1)
     return jnp.concatenate([xyz, points[..., 3:]], axis=-1)
 
 

@@ -76,7 +76,13 @@ def _rect_halfplanes(boxes):
     center = boxes[..., 0:2]
     half = jnp.stack([boxes[..., 3], boxes[..., 3], boxes[..., 4], boxes[..., 4]],
                      axis=-1) / 2
-    c = jnp.einsum('...kd,...d->...k', n, center) + half
+    # elementwise mul+add, NOT einsum: einsum lowers to an MXU dot which
+    # defaults to bf16 operand precision on TPU; the ~0.4% relative noise
+    # destroys the collinear-edge tie handling for near-identical boxes
+    # (self-IoU read 0.33 or 1e7 on chip) — exactly the regime a converging
+    # two-stage head lives in. These are 2-wide dots; the VPU form is both
+    # exact (f32) and faster than an MXU trip.
+    c = (n * center[..., None, :]).sum(-1) + half
     return n, c
 
 
@@ -100,8 +106,10 @@ def _clipped_edges_contribution(pa1, pa2, nb, cb, second_pass=False):
     d = pa2 - pa1  # (..., 4, 2)
     len_d = jnp.linalg.norm(d, axis=-1)[..., :, None]  # (..., 4e, 1)
     # f(t) = nb.(p1 + t d) - cb <= 0 required, per (edge e, plane k)
-    nd = jnp.einsum('...kd,...ed->...ek', nb, d)    # (..., 4e, 4k)
-    nf = jnp.einsum('...kd,...ed->...ek', nb, pa1) - cb[..., None, :]
+    # elementwise (..., 4e, 4k) dots — see _rect_halfplanes for why einsum
+    # (bf16 MXU lowering on TPU) is forbidden in this file
+    nd = (nb[..., None, :, :] * d[..., :, None, :]).sum(-1)      # (..., 4e, 4k)
+    nf = (nb[..., None, :, :] * pa1[..., :, None, :]).sum(-1) - cb[..., None, :]
     # parallel test is relative to edge length: f32 trig noise makes exactly
     # collinear rotated edges produce |n.d| ~ 1e-6 * |d|
     is_par = jnp.abs(nd) <= _PAR_TOL * len_d

@@ -24,9 +24,12 @@ def save_checkpoint(state, ckpt_dir, epoch, max_ckpt_save_num=30, logger=None):
     """Save train state under <ckpt_dir>/checkpoint_epoch_<epoch>."""
     ckpt_dir = os.path.abspath(ckpt_dir)
     os.makedirs(ckpt_dir, exist_ok=True)
-    # rotation (train_utils.py:100-105)
-    ckpts = sorted(glob.glob(os.path.join(ckpt_dir, 'checkpoint_epoch_*')),
-                   key=lambda f: int(re.findall(r'checkpoint_epoch_(\d+)', f)[0]))
+    # rotation (train_utils.py:100-105); leftover orbax tmp dirs from a
+    # killed save must not count toward the rotation budget
+    ckpts = sorted(
+        (f for f in glob.glob(os.path.join(ckpt_dir, 'checkpoint_epoch_*'))
+         if _is_complete(f)),
+        key=lambda f: int(re.findall(r'checkpoint_epoch_(\d+)', f)[0]))
     while len(ckpts) >= max_ckpt_save_num:
         victim = ckpts.pop(0)
         import shutil
@@ -47,12 +50,18 @@ def save_checkpoint(state, ckpt_dir, epoch, max_ckpt_save_num=30, logger=None):
     return path
 
 
+def _is_complete(path):
+    # a trainer killed mid-save leaves an orbax `*.orbax-checkpoint-tmp*`
+    # dir; resuming from it raises "incomplete checkpoint". Match the
+    # exact final naming rather than a 'tmp' substring so a future
+    # epoch-tag suffix can't be misclassified.
+    return re.fullmatch(r'checkpoint_epoch_\d+', os.path.basename(path))
+
+
 def latest_checkpoint(ckpt_dir):
     ckpts = glob.glob(os.path.join(os.path.abspath(ckpt_dir), 'checkpoint_epoch_*'))
-    # a trainer killed mid-save leaves an orbax `*.orbax-checkpoint-tmp*`
-    # dir; resuming from it raises "incomplete checkpoint" — skip them so
-    # resume falls back to the newest COMPLETE epoch
-    ckpts = [c for c in ckpts if 'tmp' not in os.path.basename(c)]
+    # skip incomplete saves so resume falls back to the newest COMPLETE epoch
+    ckpts = [c for c in ckpts if _is_complete(c)]
     if not ckpts:
         return None
     return max(ckpts, key=lambda f: int(re.findall(r'checkpoint_epoch_(\d+)', f)[0]))

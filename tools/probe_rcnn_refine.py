@@ -89,10 +89,25 @@ def main():
     tx, _ = build_optimizer(cfg.OPTIMIZATION, 10, 2)
     state = TrainState.create(params=variables['params'],
                               batch_stats=variables['batch_stats'], tx=tx)
-    restored, ep = restore_checkpoint(
-        latest_checkpoint(args.ckpt_dir), state, logger)
-    params, stats = restored.params, restored.batch_stats
+    ckpt = latest_checkpoint(args.ckpt_dir)
+    if ckpt is None:
+        sys.exit(f'no checkpoint in {args.ckpt_dir}')
+    restored, ep = restore_checkpoint(ckpt, state, logger)
     print(f'# restored epoch {ep}', file=sys.stderr)
+
+    # Precise-BN recalibration: the roi/rcnn recall gap this probe is
+    # diagnosing was measured with recalibrated population stats
+    # (train_to_ap.py applies it between restore and eval); probing with
+    # the raw, lagging momentum-0.01 EMAs would introduce a BN-stats
+    # confound that alone can fake the train-improves/eval-degrades
+    # signature. Recalibrate first, and use the same stats for both
+    # branches.
+    from lidardetection_tpu.engine.bn_recalibrate import recalibrate_bn_stats
+    ev = recalibrate_bn_stats(
+        model, {'params': restored.params,
+                'batch_stats': restored.batch_stats},
+        loader, device_batch, n_batches=len(loader), logger=logger)
+    params, stats = ev['params'], ev['batch_stats']
 
     tc = cfg.MODEL.ROI_HEAD.TARGET_CONFIG
     box_coder = build_box_coder(tc['BOX_CODER'],

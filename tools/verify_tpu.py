@@ -241,9 +241,58 @@ def verify_rank_select():
         FAILED.append('roi rank-select')
 
 
+def verify_iou3d():
+    """Rotated IoU on chip vs the exact CPU geometry, with a deliberate
+    cluster of near-identical pairs.
+
+    Guard for the round-5 root cause of the PV-RCNN "refinement
+    inversion": einsums in core/iou3d.py lowered to MXU dots whose TPU
+    default operand precision is bf16; the collinear-edge tie handling
+    then exploded for (near-)identical boxes (self-IoU read 0.33 or 1e7
+    on chip while every CPU test passed). Any future re-introduction of
+    a dot into the clip path fails here first.
+    """
+    import jax.numpy as jnp
+
+    from lidardetection_tpu.core.iou3d import boxes_iou3d
+    from lidardetection_tpu.core.np_geometry import boxes_bev_iou_cpu
+
+    rng = np.random.default_rng(7)
+    n = 96
+    base = np.concatenate([
+        rng.uniform(-60, 60, (n, 2)), rng.uniform(-2, 2, (n, 1)),
+        rng.uniform(1.5, 4.5, (n, 2)), rng.uniform(1.2, 2.0, (n, 1)),
+        rng.uniform(-np.pi, np.pi, (n, 1))], axis=1).astype(np.float32)
+    # half the probes: the SAME boxes jittered by millimeters (the regime
+    # a converged two-stage head produces)
+    jit = base.copy()
+    jit[: n // 2, :3] += rng.normal(0, 2e-3, (n // 2, 3))
+    jit[: n // 2, 6] += rng.normal(0, 1e-4, n // 2)
+    got = np.asarray(boxes_iou3d(jnp.asarray(base), jnp.asarray(jit)))
+
+    # exact CPU reference: rotated BEV IoU -> 3D with z-extent
+    bev = boxes_bev_iou_cpu(base, jit)
+    area_a = (base[:, 3] * base[:, 4])[:, None]
+    area_b = (jit[:, 3] * jit[:, 4])[None, :]
+    ov_bev = bev * (area_a + area_b) / (1.0 + bev)
+    za1, za2 = base[:, 2] - base[:, 5] / 2, base[:, 2] + base[:, 5] / 2
+    zb1, zb2 = jit[:, 2] - jit[:, 5] / 2, jit[:, 2] + jit[:, 5] / 2
+    zov = np.clip(np.minimum(za2[:, None], zb2[None, :])
+                  - np.maximum(za1[:, None], zb1[None, :]), 0, None)
+    ov3d = ov_bev * zov
+    vol_a = (base[:, 3] * base[:, 4] * base[:, 5])[:, None]
+    vol_b = (jit[:, 3] * jit[:, 4] * jit[:, 5])[None, :]
+    want = ov3d / np.clip(vol_a + vol_b - ov3d, 1e-6, None)
+    check('boxes_iou3d (near-identical cluster)', got, want,
+          atol=5e-3, rtol=5e-3)
+    diag = np.diagonal(got)[n // 2:]  # exact self-pairs
+    check('boxes_iou3d self-IoU == 1', diag, np.ones_like(diag),
+          atol=1e-3, rtol=0)
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument('--kernels', default='conv,ball,scatter,vfe,rank')
+    ap.add_argument('--kernels', default='conv,ball,scatter,vfe,rank,iou')
     args = ap.parse_args()
     import jax
     jax.config.update('jax_compilation_cache_dir', '/tmp/ldtpu_bench_cache')
@@ -263,6 +312,8 @@ def main():
         verify_vfe()
     if 'rank' in todo:
         verify_rank_select()
+    if 'iou' in todo:
+        verify_iou3d()
     if FAILED:
         print('FAILED:', ', '.join(FAILED))
         sys.exit(1)

@@ -302,7 +302,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--models',
                     default='pointpillar,second,pv_rcnn,pointrcnn,parta2,'
-                            'train,train:second',
+                            'train,train:second,train:pv_rcnn,'
+                            'train:pointrcnn,train:parta2',
                     help='comma list: eval names (pointpillar, second, '
                          'pv_rcnn, pointrcnn, parta2) and train benches '
                          '(train = train:pointpillar, train:<model>)')

@@ -322,20 +322,43 @@ def eval_class(gt_annos, dt_annos, current_classes, difficultys, metric,
             (gt_datas_list, dt_datas_list, ignored_gts, ignored_dets,
              dontcares, total_num_valid_gt) = _prepare_data(
                 gt_annos, dt_annos, current_class, difficulty)
+            from ....native import (
+                kitti_fused_stats_native, kitti_tp_scores_native, load,
+            )
+            use_native = load() is not None
             for k in range(min_overlaps.shape[0]):
                 min_overlap = min_overlaps[k, metric, m]
                 thresholdss = []
                 for i in range(len(gt_annos)):
-                    _, _, _, _, th = compute_statistics(
-                        overlaps[i], gt_datas_list[i], dt_datas_list[i],
-                        ignored_gts[i], ignored_dets[i], dontcares[i],
-                        metric, min_overlap=min_overlap, thresh=0.0,
-                        compute_fp=False)
+                    if use_native:
+                        th = kitti_tp_scores_native(
+                            overlaps[i], dt_datas_list[i][:, -1],
+                            ignored_gts[i], ignored_dets[i], min_overlap)
+                    else:
+                        _, _, _, _, th = compute_statistics(
+                            overlaps[i], gt_datas_list[i], dt_datas_list[i],
+                            ignored_gts[i], ignored_dets[i], dontcares[i],
+                            metric, min_overlap=min_overlap, thresh=0.0,
+                            compute_fp=False)
                     thresholdss += th.tolist()
                 thresholds = np.array(get_thresholds(
                     np.array(thresholdss), total_num_valid_gt))
                 pr = np.zeros([len(thresholds), 4])
                 for i in range(len(gt_annos)):
+                    if use_native and len(thresholds):
+                        # threshold-fused C++ matcher (the reference's
+                        # fused_compute_statistics role, eval.py:291);
+                        # semantics identical to the Python loop below
+                        dt_dc = None
+                        if metric == 0 and len(dontcares[i]) > 0:
+                            dt_dc = image_box_overlap(
+                                dt_datas_list[i][:, :4], dontcares[i], 0)
+                        kitti_fused_stats_native(
+                            overlaps[i], dt_datas_list[i][:, -1],
+                            dt_datas_list[i][:, 4], gt_datas_list[i][:, 4],
+                            dt_dc, ignored_gts[i], ignored_dets[i],
+                            metric, min_overlap, thresholds, compute_aos, pr)
+                        continue
                     for t, thresh in enumerate(thresholds):
                         tp, fp, fn, similarity, _ = compute_statistics(
                             overlaps[i], gt_datas_list[i], dt_datas_list[i],

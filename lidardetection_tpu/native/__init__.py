@@ -18,7 +18,8 @@ from pathlib import Path
 import numpy as np
 
 _HERE = Path(__file__).resolve().parent
-_SRCS = [_HERE / 'voxelizer.cpp', _HERE / 'rulebooks.cpp']
+_SRCS = [_HERE / 'voxelizer.cpp', _HERE / 'rulebooks.cpp',
+         _HERE / 'kitti_stats.cpp']
 _SO = _HERE / '_build' / 'libnative.so'
 _lock = threading.Lock()
 _lib = None
@@ -64,6 +65,16 @@ def load():
         lib.build_rulebooks.argtypes = [
             i32p, ctypes.c_int32, ctypes.c_int32, i64p, i32p,
             ctypes.c_int32, i32p, i32p, i32p]
+        f64p = ctypes.POINTER(ctypes.c_double)
+        lib.kitti_tp_scores.restype = ctypes.c_int32
+        lib.kitti_tp_scores.argtypes = [
+            f64p, ctypes.c_int32, ctypes.c_int32, f64p, i32p, i32p,
+            ctypes.c_double, f64p]
+        lib.kitti_fused_stats.restype = None
+        lib.kitti_fused_stats.argtypes = [
+            f64p, ctypes.c_int32, ctypes.c_int32, f64p, f64p, f64p,
+            f64p, ctypes.c_int32, i32p, i32p, ctypes.c_int32,
+            ctypes.c_double, f64p, ctypes.c_int32, ctypes.c_int32, f64p]
         _lib = lib
         return _lib
 
@@ -118,6 +129,63 @@ def build_rulebooks_native(coords, n_vox, cap_in, spatial_shape, plan_records,
     if rc != 0:
         raise ValueError(f'build_rulebooks failed (rc={rc})')
     return rb_buf, oc_buf[:total_oc], on_buf[:n_down]
+
+
+def _f64p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+
+def kitti_tp_scores_native(overlaps, dt_scores, ignored_gt, ignored_det,
+                           min_overlap):
+    """First matching pass of the KITTI protocol (kitti_stats.cpp);
+    returns the matched detection scores, or None if lib missing."""
+    lib = load()
+    if lib is None:
+        return None
+    overlaps = np.ascontiguousarray(overlaps, np.float64)
+    dt_scores = np.ascontiguousarray(dt_scores, np.float64)
+    ig = np.ascontiguousarray(ignored_gt, np.int32)
+    idet = np.ascontiguousarray(ignored_det, np.int32)
+    det_size, gt_size = overlaps.shape
+    out = np.empty(max(gt_size, 1), np.float64)
+    n = lib.kitti_tp_scores(_f64p(overlaps), det_size, gt_size,
+                            _f64p(dt_scores), _i32p(ig), _i32p(idet),
+                            float(min_overlap), _f64p(out))
+    return out[:n]
+
+
+def kitti_fused_stats_native(overlaps, dt_scores, dt_alphas, gt_alphas,
+                             dt_dc_overlap, ignored_gt, ignored_det,
+                             metric, min_overlap, thresholds, compute_aos,
+                             pr):
+    """Threshold-fused second pass; accumulates into pr (T, 4) float64
+    in-place. Returns False if the lib is missing (caller falls back)."""
+    lib = load()
+    if lib is None:
+        return False
+    overlaps = np.ascontiguousarray(overlaps, np.float64)
+    dt_scores = np.ascontiguousarray(dt_scores, np.float64)
+    dt_alphas = np.ascontiguousarray(dt_alphas, np.float64)
+    gt_alphas = np.ascontiguousarray(gt_alphas, np.float64)
+    ig = np.ascontiguousarray(ignored_gt, np.int32)
+    idet = np.ascontiguousarray(ignored_det, np.int32)
+    thresholds = np.ascontiguousarray(thresholds, np.float64)
+    det_size, gt_size = overlaps.shape
+    if dt_dc_overlap is None or dt_dc_overlap.size == 0:
+        n_dc = 0
+        dcp = _f64p(np.empty(1, np.float64))
+    else:
+        dt_dc_overlap = np.ascontiguousarray(dt_dc_overlap, np.float64)
+        n_dc = dt_dc_overlap.shape[1]
+        dcp = _f64p(dt_dc_overlap)
+    assert pr.dtype == np.float64 and pr.flags.c_contiguous
+    lib.kitti_fused_stats(_f64p(overlaps), det_size, gt_size,
+                          _f64p(dt_scores), _f64p(dt_alphas),
+                          _f64p(gt_alphas), dcp, n_dc, _i32p(ig),
+                          _i32p(idet), int(metric), float(min_overlap),
+                          _f64p(thresholds), len(thresholds),
+                          int(bool(compute_aos)), _f64p(pr))
+    return True
 
 
 def rotated_iou_bev_native(boxes_a, boxes_b, criterion=-1):

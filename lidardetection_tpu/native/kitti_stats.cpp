@@ -30,10 +30,6 @@ int32_t kitti_tp_scores(const double* overlaps,  // (det_size, gt_size) row-majo
                         const int32_t* ignored_det,
                         double min_overlap,
                         double* out_scores) {
-  // assigned_detection never affects this pass's matches in the reference
-  // (a det can win several gts only via the score-max rule; the reference
-  // marks assigned but never tests it when compute_fp is false — mirror
-  // that exactly, including not testing it).
   std::vector<char> assigned(det_size, 0);
   int32_t n_out = 0;
   for (int32_t i = 0; i < gt_size; ++i) {

@@ -85,6 +85,36 @@ def test_sharded_train_matches_single_device(setup):
                                    rtol=1e-2, atol=2e-3)
 
 
+@pytest.mark.parametrize('family', ['second', 'pointrcnn', 'parta2'])
+def test_sharded_train_matches_single_device_families(family):
+    """sharded==single-device for the sparse and point-based families.
+
+    PointPillar above covers the dense path; the sparse conv engine
+    (second), PointNet2 ragged ops (pointrcnn) and UNet-decoder/roiaware
+    pooling (parta2) shard through different kernels — the reference
+    trains all of them under DDP (tools/train.py:142). Uses the driver
+    dryrun's budgeted configs (__graft_entry__._build) so compile cost
+    stays bounded on the CPU mesh.
+    """
+    import __graft_entry__ as g
+
+    voxels = {'second': 512, 'pointrcnn': 512, 'parta2': 384}[family]
+    cfg, model, variables, batch = g._build(
+        max_voxels=voxels, batch_size=8, seed=1, model=family)
+    opt, _ = build_optimizer(cfg.OPTIMIZATION, 5, 2)
+    state = TrainState.create(variables['params'], variables['batch_stats'],
+                              opt)
+    mesh = make_mesh()
+    s1, l1 = make_train_step(model, donate=False)(_fresh(state), batch)
+    s8, l8 = make_train_step(model, mesh=mesh, donate=False)(
+        _fresh(state), batch)
+    np.testing.assert_allclose(float(l1['loss']), float(l8['loss']),
+                               rtol=4e-3)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s8.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-2, atol=2e-3)
+
+
 def test_sharded_eval_matches_single_device(setup):
     cfg, model, state, batch = setup
     mesh = make_mesh()

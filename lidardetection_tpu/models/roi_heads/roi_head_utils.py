@@ -219,7 +219,15 @@ def assign_roi_targets(rng, batch, sampler_cfg):
     b, r = local.shape[:2]
     local = rotate_points_along_z(
         local.reshape(b * r, 1, -1), -roi_ry.reshape(-1)).reshape(gt.shape)
-    heading = local[..., 6] % (2 * np.pi)
+    # the heading must also be canonicalized into the roi frame
+    # (roi_head_template.py:118 `gt_of_rois[:, :, 6] -= roi_ry`):
+    # rotate_points_along_z only transforms xyz, so without this
+    # subtraction the target heading is the RAW gt heading while decode
+    # reconstructs `pred + roi_ry` — the reg loss then fights the
+    # flip-invariant corner loss and refinement converges with ~0.5 rad
+    # heading noise (measured round 5: cyclist refine IoU 0.66 -> 0.44
+    # on BOTH train and eval rois; fixed by this line)
+    heading = (local[..., 6] - roi_ry) % (2 * np.pi)
     opposite = (heading > np.pi * 0.5) & (heading < np.pi * 1.5)
     heading = jnp.where(opposite, (heading + np.pi) % (2 * np.pi), heading)
     heading = jnp.where(heading > np.pi, heading - 2 * np.pi, heading)
